@@ -1,0 +1,82 @@
+"""Letterbox preprocessing as XLA ops.
+
+Re-creates the preprocessing the reference gets from ultralytics
+(`data/augment.LetterBox` + `engine/predictor.preprocess`, entered via
+/root/reference/yolo_multi_model.py:41,:173 — SURVEY.md D2):
+
+  resize keeping aspect ratio into ``imgsz`` × ``imgsz``, pad the rest
+  with gray 114 (centered, stride-32 aligned), BGR→RGB, /255, and cast
+  to the compute dtype.
+
+TPU-first differences from the reference path:
+- the whole transform is jnp inside the jitted step — no cv2.resize on
+  the host, no HWC→CHW transpose (we keep NHWC, the layout XLA:TPU
+  prefers for convolutions);
+- geometry (gain/pad) is computed once per static source resolution in
+  Python (``letterbox_params``), so the traced function has zero
+  data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LetterboxParams(NamedTuple):
+    """Static letterbox geometry for a (src_h, src_w) -> size mapping."""
+
+    gain: float  # scale factor applied to the source frame
+    pad_x: float  # left padding in model-input pixels
+    pad_y: float  # top padding in model-input pixels
+    new_w: int  # resized (pre-pad) width
+    new_h: int  # resized (pre-pad) height
+    size: int  # final square model input size
+
+
+def letterbox_params(src_h: int, src_w: int, size: int = 640) -> LetterboxParams:
+    """Compute static letterbox geometry (python ints — trace-time only)."""
+    gain = min(size / src_h, size / src_w)
+    new_w = int(round(src_w * gain))
+    new_h = int(round(src_h * gain))
+    pad_x = (size - new_w) / 2.0
+    pad_y = (size - new_h) / 2.0
+    return LetterboxParams(gain, pad_x, pad_y, new_w, new_h, size)
+
+
+def letterbox(
+    frame: jnp.ndarray,
+    params: LetterboxParams,
+    *,
+    bgr_to_rgb: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+    pad_value: float = 114.0,
+) -> jnp.ndarray:
+    """Letterbox one frame or a batch of frames.
+
+    frame: (..., H, W, 3) uint8 (or float). Returns
+    (..., size, size, 3) ``dtype`` in [0, 1], NHWC.
+    """
+    x = frame.astype(jnp.float32)
+    if bgr_to_rgb:
+        x = x[..., ::-1]
+
+    batch_shape = x.shape[:-3]
+    # antialias=False for parity with cv2.INTER_LINEAR, which is what
+    # ultralytics' LetterBox uses (SURVEY.md D2).
+    resized = jax.image.resize(
+        x,
+        (*batch_shape, params.new_h, params.new_w, 3),
+        method="linear",
+        antialias=False,
+    )
+
+    top = int(round(params.pad_y - 0.1))
+    left = int(round(params.pad_x - 0.1))
+    bottom = params.size - params.new_h - top
+    right = params.size - params.new_w - left
+    pad_width = [(0, 0)] * len(batch_shape) + [(top, bottom), (left, right), (0, 0)]
+    padded = jnp.pad(resized, pad_width, constant_values=pad_value)
+    return (padded / 255.0).astype(dtype)

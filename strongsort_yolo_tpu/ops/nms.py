@@ -1,0 +1,140 @@
+"""Fixed-shape class-aware NMS under jit.
+
+Re-creates the postprocess the reference configures through
+``model.overrides`` (conf=0.3, iou=0.4, agnostic_nms=False,
+max_det=1000, optional class filter — /root/reference/
+yolo_multi_model.py:18-22; SURVEY.md D6/N5), which ultralytics runs via
+torchvision's C++/CUDA NMS. Here it is a pure fixed-shape XLA program
+(with a Pallas-fused variant in ops/pallas/) so it lives inside the one
+jitted per-frame step with no host sync and no recompiles:
+
+- candidates are ranked by best-class confidence and truncated to a
+  static ``pre_nms_topk`` (invalid slots get score 0);
+- class-aware behaviour uses the coordinate-offset trick (shift each
+  box by ``cls * MAX_WH`` so different classes can never overlap) —
+  same trick ultralytics uses, and it keeps the kernel branch-free;
+- greedy suppression is computed as the fixpoint of
+  ``keep[i] = valid[i] & ~any_{j<i}(keep[j] & iou[j,i] > thr)``
+  iterated from ``keep = valid``. Each iteration is one masked
+  (K, K) @ (K,) contraction (MXU work), and the fixpoint equals the
+  sequential greedy result; chains are short in practice so it
+  converges in a handful of iterations.
+
+Output is a padded ``(max_det, 6)`` array ``[x1,y1,x2,y2,conf,cls]``
+sorted by confidence, plus a valid-count scalar.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from strongsort_yolo_tpu.ops.boxes import box_iou
+
+# Class-offset magnitude: larger than any model-input coordinate, so
+# boxes of different classes never intersect after offsetting.
+MAX_WH = 7680.0
+
+
+class Detections(NamedTuple):
+    """Fixed-shape NMS output. Rows beyond ``count`` are zero padding."""
+
+    boxes: jnp.ndarray  # (max_det, 4) xyxy
+    scores: jnp.ndarray  # (max_det,)
+    classes: jnp.ndarray  # (max_det,) int32
+    count: jnp.ndarray  # () int32 — number of valid rows
+    valid: jnp.ndarray  # (max_det,) bool mask
+
+
+def _greedy_keep_fixpoint(
+    iou: jnp.ndarray, valid: jnp.ndarray, iou_thres: float
+) -> jnp.ndarray:
+    """Fixpoint iteration equal to sequential greedy NMS.
+
+    iou: (K, K) IoU of score-desc-sorted candidates. valid: (K,) bool.
+    """
+    k = iou.shape[0]
+    # suppress[j, i] = 1 where an earlier kept box j would kill box i.
+    upper = jnp.triu(jnp.ones((k, k), jnp.float32), 1)
+    sup_mat = (iou > iou_thres).astype(jnp.float32) * upper
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def body(state):
+        keep, _, it = state
+        killed = (keep.astype(jnp.float32) @ sup_mat) > 0.5
+        new_keep = jnp.logical_and(valid, jnp.logical_not(killed))
+        return new_keep, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0))
+    )
+    return keep
+
+
+def non_max_suppression(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    *,
+    conf_thres: float = 0.3,
+    iou_thres: float = 0.4,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    agnostic: bool = False,
+    class_filter: jnp.ndarray | None = None,
+) -> Detections:
+    """Class-aware greedy NMS over one frame's raw predictions.
+
+    boxes: (N, 4) xyxy in model-input coords.
+    scores: (N, nc) per-class confidences (already sigmoid'd).
+    class_filter: optional (nc,) bool mask of allowed classes
+      (reference's commented ``model.overrides['classes']``,
+      yolo_multi_model.py:22).
+
+    Defaults mirror the reference NMS config except ``max_det``: the
+    reference uses 1000 (yolo_multi_model.py:21); callers wanting exact
+    parity pass ``max_det=1000``.
+    """
+    n, nc = scores.shape
+    if class_filter is not None:
+        scores = jnp.where(class_filter[None, :], scores, 0.0)
+
+    conf = jnp.max(scores, axis=-1)
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    cand = conf >= conf_thres
+
+    k = min(pre_nms_topk, n)
+    # Rank by confidence; push non-candidates to the bottom.
+    ranked_conf = jnp.where(cand, conf, -1.0)
+    top_conf, top_idx = jax.lax.top_k(ranked_conf, k)
+    top_boxes = boxes[top_idx]
+    top_cls = cls[top_idx]
+    top_valid = top_conf >= conf_thres
+
+    offset = jnp.where(
+        top_valid, top_cls.astype(jnp.float32), 0.0
+    ) * (0.0 if agnostic else MAX_WH)
+    shifted = top_boxes + offset[:, None] * jnp.ones((1, 4), top_boxes.dtype)
+
+    iou = box_iou(shifted, shifted)
+    keep = _greedy_keep_fixpoint(iou, top_valid, iou_thres)
+
+    # Select top max_det kept rows (already score-sorted). If fewer
+    # candidates than max_det exist, pad the fixed-shape output.
+    kept_conf = jnp.where(keep, top_conf, -1.0)
+    out_k = min(max_det, k)
+    out_conf, out_sel = jax.lax.top_k(kept_conf, out_k)
+    if out_k < max_det:
+        out_conf = jnp.pad(out_conf, (0, max_det - out_k), constant_values=-1.0)
+        out_sel = jnp.pad(out_sel, (0, max_det - out_k))
+    out_valid = out_conf >= conf_thres
+    out_boxes = jnp.where(out_valid[:, None], top_boxes[out_sel], 0.0)
+    out_scores = jnp.where(out_valid, out_conf, 0.0)
+    out_cls = jnp.where(out_valid, top_cls[out_sel], 0)
+    count = jnp.sum(out_valid.astype(jnp.int32))
+    return Detections(out_boxes, out_scores, out_cls, count, out_valid)

@@ -1,0 +1,23 @@
+"""Test config: force CPU jax with 8 virtual devices.
+
+Tests must run without a TPU (SURVEY.md §4). The virtual 8-device mesh
+exercises the multi-chip sharding paths (parallel/) exactly as the
+driver's ``dryrun_multichip`` does.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

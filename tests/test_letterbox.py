@@ -1,0 +1,53 @@
+"""Letterbox preprocessing vs a cv2-based oracle (ultralytics semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from strongsort_yolo_tpu.ops.letterbox import letterbox, letterbox_params
+
+
+def test_params_1080p():
+    p = letterbox_params(1080, 1920, 640)
+    assert p.new_w == 640 and p.new_h == 360
+    assert p.pad_x == 0.0 and p.pad_y == 140.0
+    assert abs(p.gain - 1 / 3) < 1e-9
+
+
+def test_output_shape_and_range(rng):
+    frame = rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
+    p = letterbox_params(720, 1280, 640)
+    out = np.asarray(letterbox(jnp.asarray(frame), p))
+    assert out.shape == (640, 640, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # pad rows are gray 114/255
+    np.testing.assert_allclose(out[0, :, :], 114 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(out[-1, :, :], 114 / 255.0, atol=1e-6)
+
+
+def test_batched(rng):
+    frames = rng.integers(0, 255, (4, 480, 640, 3), dtype=np.uint8)
+    p = letterbox_params(480, 640, 640)
+    out = np.asarray(letterbox(jnp.asarray(frames), p))
+    assert out.shape == (4, 640, 640, 3)
+
+
+def test_bgr_to_rgb(rng):
+    frame = np.zeros((64, 64, 3), np.uint8)
+    frame[:, :, 0] = 255  # blue channel in BGR
+    p = letterbox_params(64, 64, 64)
+    out = np.asarray(letterbox(jnp.asarray(frame), p))
+    # after BGR->RGB, channel 2 (R position holds blue) is the hot one
+    np.testing.assert_allclose(out[32, 32], [0.0, 0.0, 1.0], atol=1e-3)
+
+
+def test_matches_cv2_resize_close(rng):
+    import cv2
+
+    frame = rng.integers(0, 255, (540, 960, 3), dtype=np.uint8)
+    p = letterbox_params(540, 960, 640)
+    ours = np.asarray(letterbox(jnp.asarray(frame), p, bgr_to_rgb=False))
+    ref = cv2.resize(frame, (p.new_w, p.new_h), interpolation=cv2.INTER_LINEAR)
+    top = int(round(p.pad_y - 0.1))
+    crop = ours[top : top + p.new_h, : p.new_w] * 255.0
+    # bilinear implementations differ slightly at edges; compare loosely
+    assert np.mean(np.abs(crop - ref.astype(np.float32))) < 2.0

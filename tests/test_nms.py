@@ -1,0 +1,147 @@
+"""NMS vs a sequential greedy NumPy oracle (torchvision semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from strongsort_yolo_tpu.ops.nms import non_max_suppression
+
+
+def greedy_nms_oracle(boxes, scores, iou_thres):
+    """Sequential greedy NMS over score-desc candidates (single class)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            lt = np.maximum(boxes[i, :2], boxes[j, :2])
+            rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[0] * wh[1]
+            ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            aj = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (ai + aj - inter + 1e-7) > iou_thres:
+                suppressed[j] = True
+    return keep
+
+
+def nms_oracle(boxes, scores_mat, conf, iou, agnostic=False):
+    """Class-aware NMS oracle returning the set of kept (box, cls)."""
+    best = scores_mat.max(1)
+    cls = scores_mat.argmax(1)
+    cand = best >= conf
+    idx = np.where(cand)[0]
+    if len(idx) == 0:
+        return set()
+    off = np.zeros_like(best) if agnostic else cls * 7680.0
+    shifted = boxes + off[:, None]
+    kept_local = greedy_nms_oracle(shifted[idx], best[idx], iou)
+    kept = idx[kept_local]
+    return {(i, int(cls[i])) for i in kept}
+
+
+def make_preds(rng, n=200, nc=5, size=640):
+    cx = rng.uniform(0, size, n)
+    cy = rng.uniform(0, size, n)
+    w = rng.uniform(10, 120, n)
+    h = rng.uniform(10, 120, n)
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+    scores = rng.uniform(0, 1, (n, nc)) ** 3  # mostly low conf
+    return boxes.astype(np.float32), scores.astype(np.float32)
+
+
+def run_ours(boxes, scores, **kw):
+    det = non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), **kw)
+    n = int(det.count)
+    got = set()
+    for k in range(n):
+        # recover original index by matching box coords
+        got.add(
+            (
+                tuple(np.round(np.asarray(det.boxes[k]), 2)),
+                int(det.classes[k]),
+            )
+        )
+    return det, got
+
+
+def to_keyset(boxes, kept):
+    return {(tuple(np.round(boxes[i], 2)), c) for i, c in kept}
+
+
+def test_nms_matches_oracle_classaware(rng):
+    for trial in range(5):
+        boxes, scores = make_preds(rng)
+        want = to_keyset(boxes, nms_oracle(boxes, scores, 0.3, 0.4))
+        _, got = run_ours(boxes, scores, conf_thres=0.3, iou_thres=0.4)
+        assert got == want
+
+
+def test_nms_matches_oracle_agnostic(rng):
+    boxes, scores = make_preds(rng, n=150)
+    want = to_keyset(boxes, nms_oracle(boxes, scores, 0.25, 0.5, agnostic=True))
+    _, got = run_ours(
+        boxes, scores, conf_thres=0.25, iou_thres=0.5, agnostic=True
+    )
+    assert got == want
+
+
+def test_nms_dense_cluster(rng):
+    # Many heavily-overlapping boxes of one class — stresses long
+    # suppression chains in the fixpoint iteration.
+    n = 100
+    base = np.array([100.0, 100.0, 200.0, 200.0])
+    jit = rng.uniform(-8, 8, (n, 4))
+    boxes = (base[None] + jit).astype(np.float32)
+    scores = np.zeros((n, 3), np.float32)
+    scores[:, 1] = np.linspace(0.9, 0.35, n)
+    want = to_keyset(boxes, nms_oracle(boxes, scores, 0.3, 0.4))
+    _, got = run_ours(boxes, scores, conf_thres=0.3, iou_thres=0.4)
+    assert got == want
+
+
+def test_nms_empty():
+    boxes = np.zeros((50, 4), np.float32)
+    scores = np.full((50, 3), 0.01, np.float32)
+    det, _ = run_ours(boxes, scores, conf_thres=0.3, iou_thres=0.4)
+    assert int(det.count) == 0
+    assert not bool(np.any(np.asarray(det.valid)))
+
+
+def test_nms_max_det_truncates(rng):
+    boxes, scores = make_preds(rng, n=300)
+    scores[:] = 0.9  # everything survives conf
+    det = non_max_suppression(
+        jnp.asarray(boxes), jnp.asarray(scores), conf_thres=0.3,
+        iou_thres=0.99, max_det=10,
+    )
+    assert int(det.count) <= 10
+    assert det.boxes.shape == (10, 4)
+
+
+def test_nms_class_filter(rng):
+    boxes, scores = make_preds(rng, n=100, nc=4)
+    allowed = jnp.asarray([False, True, False, False])
+    det = non_max_suppression(
+        jnp.asarray(boxes), jnp.asarray(scores), conf_thres=0.1,
+        iou_thres=0.5, class_filter=allowed,
+    )
+    n = int(det.count)
+    assert n > 0
+    assert all(int(det.classes[k]) == 1 for k in range(n))
+
+
+def test_nms_jits_once(rng):
+    boxes, scores = make_preds(rng)
+    fn = jax.jit(
+        lambda b, s: non_max_suppression(b, s, conf_thres=0.3, iou_thres=0.4)
+    )
+    d1 = fn(jnp.asarray(boxes), jnp.asarray(scores))
+    boxes2, scores2 = make_preds(rng)
+    d2 = fn(jnp.asarray(boxes2), jnp.asarray(scores2))
+    assert d1.boxes.shape == d2.boxes.shape
