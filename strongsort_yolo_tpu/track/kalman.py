@@ -1,0 +1,193 @@
+"""Constant-velocity Kalman filters for track motion, vmapped over slots.
+
+Re-implements (from the DeepSORT/ByteTrack/BoT-SORT literature and the
+ultralytics behavior surface — SURVEY.md D11/H3) the three filter
+variants the capability set needs:
+
+- XYAH: 8-state over (cx, cy, aspect, h, velocities) — ByteTrack /
+  DeepSORT form (``trackers/utils/kalman_filter.KalmanFilterXYAH``).
+- XYWH: same but (cx, cy, w, h) — BoT-SORT form.
+- NSA (StrongSORT): XYAH/XYWH with measurement noise scaled by
+  detection confidence, ``R̃ = (1 - conf) · R``.
+
+Everything is batched: means are (K, 8), covariances (K, 8, 8), and
+predict/update are dense 8×8 matrix algebra that XLA fuses and runs on
+the MXU for all K slots at once — there is no per-track Python loop
+anywhere (the reference stack iterates tracks in Python inside
+STrack.multi_predict).
+
+Noise scales follow the standard DeepSORT weights:
+std_weight_position = 1/20, std_weight_velocity = 1/160.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# KF algebra is tiny f32 matrix math: force full-precision multiplies
+# (DEFAULT matmul precision uses bf16 passes on TPU and fast paths on
+# some CPU backends, which visibly corrupts covariance updates).
+_HI = jax.lax.Precision.HIGHEST
+
+STD_POS = 1.0 / 20
+STD_VEL = 1.0 / 160
+
+# forms
+XYAH = "xyah"
+XYWH = "xywh"
+
+
+def _motion_matrix() -> jnp.ndarray:
+    f = jnp.eye(8)
+    return f.at[:4, 4:].set(jnp.eye(4))
+
+
+def _size_proxy(mean4: jnp.ndarray, form: str) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-component noise scale bases (w-like, h-like)."""
+    if form == XYWH:
+        return mean4[..., 2], mean4[..., 3]
+    # xyah: everything scales with h; aspect gets constant tiny noise
+    return mean4[..., 3], mean4[..., 3]
+
+
+def _pos_std(mean4: jnp.ndarray, form: str, w_pos: float) -> jnp.ndarray:
+    w, h = _size_proxy(mean4, form)
+    if form == XYWH:
+        return jnp.stack([w_pos * w, w_pos * h, w_pos * w, w_pos * h], -1)
+    const = jnp.full_like(w, 1e-2)
+    return jnp.stack([w_pos * h, w_pos * h, const, w_pos * h], -1)
+
+
+def _vel_std(mean4: jnp.ndarray, form: str, w_vel: float) -> jnp.ndarray:
+    w, h = _size_proxy(mean4, form)
+    if form == XYWH:
+        return jnp.stack([w_vel * w, w_vel * h, w_vel * w, w_vel * h], -1)
+    const = jnp.full_like(w, 1e-5)
+    return jnp.stack([w_vel * h, w_vel * h, const, w_vel * h], -1)
+
+
+def initiate(measurement: jnp.ndarray, form: str = XYWH):
+    """New-track state from an unassociated measurement.
+
+    measurement: (..., 4). Returns mean (..., 8), cov (..., 8, 8).
+    """
+    zeros = jnp.zeros_like(measurement)
+    mean = jnp.concatenate([measurement, zeros], axis=-1)
+    std_pos = 2.0 * _pos_std(measurement, form, STD_POS)
+    std_vel = 10.0 * _vel_std(measurement, form, STD_VEL)
+    std = jnp.concatenate([std_pos, std_vel], axis=-1)
+    cov = jnp.zeros((*measurement.shape[:-1], 8, 8)) + (
+        std[..., :, None] ** 2
+    ) * jnp.eye(8)
+    return mean, cov
+
+
+def predict(
+    mean: jnp.ndarray,
+    cov: jnp.ndarray,
+    form: str = XYWH,
+    *,
+    still_mask: jnp.ndarray | None = None,
+):
+    """KF time update. mean (..., 8), cov (..., 8, 8).
+
+    still_mask: optional (...,) bool — tracks not currently 'Tracked'
+    get their size-velocity components zeroed before predicting, the
+    ByteTrack multi_predict behavior for lost tracks.
+    """
+    if still_mask is not None:
+        damp = jnp.where(still_mask[..., None], 0.0, 1.0)
+        mean = mean.at[..., 6:8].multiply(damp)
+    f = _motion_matrix()
+    std_pos = _pos_std(mean[..., :4], form, STD_POS)
+    std_vel = _vel_std(mean[..., :4], form, STD_VEL)
+    q_diag = jnp.concatenate([std_pos, std_vel], axis=-1) ** 2
+    new_mean = jnp.matmul(mean, f.T, precision=_HI)
+    new_cov = jnp.matmul(
+        jnp.matmul(f, cov, precision=_HI), f.T, precision=_HI
+    ) + q_diag[..., :, None] * jnp.eye(8)
+    return new_mean, new_cov
+
+
+def project(
+    mean: jnp.ndarray,
+    cov: jnp.ndarray,
+    form: str = XYWH,
+    *,
+    conf: jnp.ndarray | None = None,
+):
+    """State -> measurement space. Returns (mean4, S (..., 4, 4)).
+
+    conf: optional (...,) detection confidence for NSA noise scaling
+    (StrongSORT H3): R̃ = (1 - conf) · R.
+    """
+    std = _pos_std(mean[..., :4], form, STD_POS)
+    if form == XYAH:
+        # DeepSORT uses a larger aspect noise in project than initiate
+        std = std.at[..., 2].set(1e-1)
+    # floor keeps S invertible for empty slots (w = h = 0) whose lanes
+    # are discarded by the caller's masks anyway
+    r_diag = jnp.maximum(std**2, 1e-9)
+    if conf is not None:
+        r_diag = jnp.maximum(
+            r_diag * jnp.clip(1.0 - conf[..., None], 0.0, 1.0), 1e-9
+        )
+    proj_mean = mean[..., :4]
+    s = cov[..., :4, :4] + r_diag[..., :, None] * jnp.eye(4)
+    return proj_mean, s
+
+
+def update(
+    mean: jnp.ndarray,
+    cov: jnp.ndarray,
+    measurement: jnp.ndarray,
+    form: str = XYWH,
+    *,
+    conf: jnp.ndarray | None = None,
+):
+    """KF measurement update. Batched over leading dims."""
+    proj_mean, s = project(mean, cov, form, conf=conf)
+    # Kalman gain via solve against S (SPD): K = P Hᵀ S⁻¹
+    ph_t = cov[..., :, :4]
+    gain_t = jnp.linalg.solve(s, jnp.swapaxes(ph_t, -1, -2))  # (..., 4, 8)
+    innovation = measurement - proj_mean
+    new_mean = mean + jnp.einsum(
+        "...i,...ij->...j", innovation, gain_t, precision=_HI
+    )
+    new_cov = cov - jnp.einsum(
+        "...ji,...jk->...ik", gain_t,
+        jnp.matmul(s, gain_t, precision=_HI), precision=_HI,
+    )
+    return new_mean, new_cov
+
+
+def gating_distance(
+    mean: jnp.ndarray,
+    cov: jnp.ndarray,
+    measurements: jnp.ndarray,
+    form: str = XYWH,
+    *,
+    only_position: bool = False,
+) -> jnp.ndarray:
+    """Squared Mahalanobis distance of measurements to the track gate.
+
+    mean (K, 8), cov (K, 8, 8), measurements (N, 4) -> (K, N).
+    Chi-square 95% gate: 9.4877 for 4 dof (StrongSORT H4).
+    """
+    proj_mean, s = project(mean, cov, form)
+    d = measurements[None, :, :] - proj_mean[:, None, :]  # (K, N, 4)
+    if only_position:
+        d = d[..., :2]
+        s = s[..., :2, :2]
+    chol = jnp.linalg.cholesky(s)  # (K, 4, 4)
+    # z solves L z = dᵀ for all N measurements of each track at once
+    z = jax.lax.linalg.triangular_solve(
+        chol, jnp.swapaxes(d, -1, -2), left_side=True, lower=True
+    )  # (K, 4, N)
+    return jnp.sum(z**2, axis=-2)
+
+
+CHI2_95_4DOF = 9.4877
