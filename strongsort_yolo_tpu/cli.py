@@ -1,0 +1,85 @@
+"""CLI — reference surface parity plus the documented extensions.
+
+Reference: ``python yolo_multi_model.py --source <s>... [--track]
+[--count]`` (/root/reference/yolo_multi_model.py:343-348, README.md:18)
+where the model is chosen by editing line 17. Here the same three flags
+keep identical semantics, and model selection moves to ``--weights``
+(SURVEY.md §2.1 build decision), with NMS knobs exposed instead of
+hard-coded overrides (:18-22).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from strongsort_yolo_tpu.app import AppConfig, run
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="strongsort-yolo-tpu",
+        description="Process video with YOLO on TPU (detect/segment/pose + track + count).",
+    )
+    parser.add_argument(
+        "--source", nargs="+", type=str, default=["0"],
+        help="Input video file paths or camera indices",
+    )
+    parser.add_argument("--track", action="store_true", help="if track objects")
+    parser.add_argument("--count", action="store_true", help="if count objects")
+    parser.add_argument(
+        "--weights", type=str, default="yolov8n",
+        help="model name (yolov8n, yolov8n-seg, yolo11n-pose, ...) or .pt path",
+    )
+    parser.add_argument(
+        "--tracker", type=str, default="botsort.yaml",
+        help="tracker config name or YAML path (botsort.yaml, bytetrack.yaml)",
+    )
+    parser.add_argument("--conf", type=float, default=0.3, help="NMS confidence threshold")
+    parser.add_argument("--iou", type=float, default=0.4, help="NMS IoU threshold")
+    parser.add_argument("--max-det", type=int, default=1000, help="max detections per image")
+    parser.add_argument(
+        "--classes", nargs="+", type=int, default=None, help="class id filter"
+    )
+    parser.add_argument("--imgsz", type=int, default=640, help="inference size")
+    parser.add_argument("--output", type=str, default="output", help="output directory")
+    parser.add_argument("--show", action="store_true", help="live display window")
+    parser.add_argument("--no-save", action="store_true", help="skip writing outputs")
+    parser.add_argument(
+        "--compat-labels", action="store_true",
+        help="reference-exact label files (frame id 0, append across runs)",
+    )
+    parser.add_argument("--no-half", action="store_true", help="float32 compute")
+    parser.add_argument("--max-frames", type=int, default=None)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = AppConfig(
+        sources=tuple(args.source),
+        track=args.track,
+        count=args.count,
+        weights=args.weights,
+        tracker=args.tracker,
+        conf=args.conf,
+        iou=args.iou,
+        max_det=args.max_det,
+        classes=None if args.classes is None else tuple(args.classes),
+        imgsz=args.imgsz,
+        output_dir=args.output,
+        show=args.show,
+        save=not args.no_save,
+        compat_labels=args.compat_labels,
+        half=not args.no_half,
+        max_frames=args.max_frames,
+    )
+    for s in run(cfg):
+        line = f"[{s.source}] frames={s.frames} fps={s.mean_fps:.2f}"
+        if s.counts is not None:
+            line += f" counts={s.counts}"
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,6 +46,8 @@ class Detections(NamedTuple):
     classes: jnp.ndarray  # (max_det,) int32
     count: jnp.ndarray  # () int32 — number of valid rows
     valid: jnp.ndarray  # (max_det,) bool mask
+    index: jnp.ndarray  # (max_det,) int32 — row in the raw prediction
+    # array each detection came from (gathers kpts/mask coefs downstream)
 
 
 def _greedy_keep_fixpoint(
@@ -136,5 +138,6 @@ def non_max_suppression(
     out_boxes = jnp.where(out_valid[:, None], top_boxes[out_sel], 0.0)
     out_scores = jnp.where(out_valid, out_conf, 0.0)
     out_cls = jnp.where(out_valid, top_cls[out_sel], 0)
+    out_index = jnp.where(out_valid, top_idx[out_sel], 0).astype(jnp.int32)
     count = jnp.sum(out_valid.astype(jnp.int32))
-    return Detections(out_boxes, out_scores, out_cls, count, out_valid)
+    return Detections(out_boxes, out_scores, out_cls, count, out_valid, out_index)

@@ -1,0 +1,349 @@
+"""End-to-end per-frame pipeline: one jitted step per stream.
+
+This is the TPU-native inversion of the reference's
+``process(image, track)`` (/root/reference/yolo_multi_model.py:29-240,
+SURVEY.md §3.3): instead of a Python walk over result objects with a
+host sync per field, the entire critical path —
+
+    letterbox → backbone/neck/head → DFL decode → NMS →
+    coordinate rescale → (masks / keypoints) → tracker update
+
+— is ONE fixed-shape XLA program (`Pipeline._make_step`). The host
+only: feeds raw frames, computes the optional GMC warp, and receives
+one padded result bundle per frame (a single device→host transfer).
+
+``Results``/``Boxes``/``Masks``/``Keypoints`` mirror the ultralytics
+result surface the reference consumes (SURVEY.md D7:
+``.boxes{.conf,.cls,.xyxy,.id}``, ``.masks.xy``, ``.keypoints.xy``,
+``.names``) so reference users can port their walking code unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strongsort_yolo_tpu.config import DetectorConfig, load_tracker_config
+from strongsort_yolo_tpu.models.yolo import (
+    YoloConfig,
+    build_model,
+    feat_hw,
+    fuse_model,
+    init_model,
+    model_apply,
+)
+from strongsort_yolo_tpu.ops.decode import decode_boxes, make_anchors
+from strongsort_yolo_tpu.ops.keypoints import decode_keypoints, scale_keypoints
+from strongsort_yolo_tpu.ops.letterbox import letterbox, letterbox_params
+from strongsort_yolo_tpu.ops.masks import masks_to_polygons, process_masks
+from strongsort_yolo_tpu.ops.nms import non_max_suppression
+from strongsort_yolo_tpu.ops.boxes import scale_boxes
+from strongsort_yolo_tpu.track.bytetrack import ByteTrackConfig, bytetrack_step
+from strongsort_yolo_tpu.track.gmc import make_gmc
+from strongsort_yolo_tpu.track.state import init_track_state
+from strongsort_yolo_tpu.utils.coco_names import COCO_NAMES
+
+
+# ---------------------------------------------------------------------------
+# Results API (ultralytics-surface parity, SURVEY.md D7)
+# ---------------------------------------------------------------------------
+
+
+class Boxes:
+    """Rows of detections/tracks: .xyxy (n,4), .conf (n,), .cls (n,),
+    .id (n,) or None. Iterating yields single-row Boxes (the reference
+    iterates ``predictions.boxes`` then zips fields —
+    yolo_multi_model.py:125-126)."""
+
+    def __init__(self, xyxy, conf, cls, id=None):
+        self.xyxy = np.asarray(xyxy, np.float32).reshape(-1, 4)
+        self.conf = np.asarray(conf, np.float32).reshape(-1)
+        self.cls = np.asarray(cls, np.float32).reshape(-1)
+        self.id = None if id is None else np.asarray(id, np.float32).reshape(-1)
+
+    def __len__(self):
+        return len(self.conf)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield Boxes(
+                self.xyxy[i : i + 1],
+                self.conf[i : i + 1],
+                self.cls[i : i + 1],
+                None if self.id is None else self.id[i : i + 1],
+            )
+
+
+class Masks:
+    """.xy — list of (P, 2) polygons in original frame coords; .data —
+    (n, Hm, Wm) float mask array."""
+
+    def __init__(self, xy, data=None):
+        self.xy = xy
+        self.data = data
+
+    def __len__(self):
+        return len(self.xy)
+
+
+class Keypoints:
+    """.xy (n, K, 2) and .conf (n, K) — invisible keypoints are the
+    rows with conf < 0.5 (the reference sees them as (0, 0);
+    ``xy_masked`` reproduces exactly that)."""
+
+    def __init__(self, data):
+        self.data = np.asarray(data, np.float32)  # (n, K, 3)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def conf(self):
+        return self.data[..., 2]
+
+    @property
+    def xy_masked(self):
+        vis = self.data[..., 2:3] >= 0.5
+        return np.where(vis, self.data[..., :2], 0.0)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __iter__(self):
+        for i in range(len(self.data)):
+            yield Keypoints(self.data[i : i + 1])
+
+
+class Results:
+    """One frame's results: .boxes, .masks, .keypoints, .names."""
+
+    def __init__(self, boxes, names, masks=None, keypoints=None, orig_img=None):
+        self.boxes = boxes
+        self.masks = masks
+        self.keypoints = keypoints
+        self.names = names
+        self.orig_img = orig_img
+
+    def __len__(self):
+        return 0 if self.boxes is None else len(self.boxes)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+class Pipeline:
+    """Per-stream detect/track pipeline with a jit cache per source
+    resolution (static shapes — SURVEY.md §7 hard part #1)."""
+
+    def __init__(
+        self,
+        det_cfg: DetectorConfig = DetectorConfig(),
+        tracker: str | ByteTrackConfig = "botsort.yaml",
+        *,
+        params: Any | None = None,
+        model_cfg: YoloConfig | None = None,
+        track_slots: int = 256,
+        seed: int = 0,
+        names: dict[int, str] | None = None,
+    ):
+        self.det_cfg = det_cfg
+        self.model_cfg = model_cfg or build_model(det_cfg.weights)
+        if params is None:
+            import os
+
+            if os.path.exists(det_cfg.weights):
+                from strongsort_yolo_tpu.models.porting import load_checkpoint
+
+                params, cfg_loaded, names_loaded = load_checkpoint(det_cfg.weights)
+                self.model_cfg = cfg_loaded
+                names = names or names_loaded
+            else:
+                params = init_model(jax.random.PRNGKey(seed), self.model_cfg)
+        if det_cfg.fuse:
+            params = fuse_model(params)
+        self.params = params
+        self.names = names or dict(COCO_NAMES)
+        self.tracker_cfg = (
+            tracker
+            if isinstance(tracker, ByteTrackConfig)
+            else load_tracker_config(tracker)
+        )
+        self.track_slots = track_slots
+        self.track_state = init_track_state(track_slots)
+        self.gmc = make_gmc(
+            self.tracker_cfg.gmc_method
+            if self.tracker_cfg.tracker_type == "botsort"
+            else "none"
+        )
+        self.compute_dtype = jnp.bfloat16 if det_cfg.half else jnp.float32
+        self._steps: dict[tuple[int, int], Any] = {}
+
+    # -- jitted step construction --------------------------------------
+
+    def _class_filter(self):
+        if self.det_cfg.classes is None:
+            return None
+        mask = np.zeros((self.model_cfg.nc,), bool)
+        mask[list(self.det_cfg.classes)] = True
+        return jnp.asarray(mask)
+
+    def _make_step(self, src_hw: tuple[int, int]):
+        cfg = self.model_cfg
+        det_cfg = self.det_cfg
+        size = det_cfg.imgsz
+        lp = letterbox_params(*src_hw, size)
+        anchors, strides = make_anchors(feat_hw((size, size), cfg.strides), cfg.strides)
+        gain = jnp.float32(lp.gain)
+        pad = jnp.asarray([lp.pad_x, lp.pad_y], jnp.float32)
+        orig_hw = jnp.asarray(src_hw, jnp.float32)
+        class_filter = self._class_filter()
+        tracker_cfg = self.tracker_cfg
+        compute_dtype = self.compute_dtype
+
+        def detect(params, frame_u8):
+            img = letterbox(frame_u8, lp, dtype=compute_dtype)
+            out = model_apply(params, img[None], cfg, compute_dtype=compute_dtype)
+            boxes_in = decode_boxes(
+                out["box_logits"][0], anchors, strides, cfg.reg_max
+            )
+            scores = jax.nn.sigmoid(out["cls_logits"][0])
+            det = non_max_suppression(
+                boxes_in,
+                scores,
+                conf_thres=det_cfg.conf,
+                iou_thres=det_cfg.iou,
+                max_det=det_cfg.max_det,
+                agnostic=det_cfg.agnostic_nms,
+                class_filter=class_filter,
+            )
+            boxes_orig = scale_boxes(det.boxes, gain, pad, orig_hw)
+            det = det._replace(boxes=jnp.where(det.valid[:, None], boxes_orig, 0.0))
+            extras = {}
+            if cfg.task == "pose":
+                kpt_rows = out["kpt_raw"][0][det.index]
+                kpts = decode_keypoints(
+                    kpt_rows, anchors[det.index], strides[det.index], cfg.kpt[0]
+                )
+                extras["keypoints"] = scale_keypoints(kpts, gain, pad, orig_hw)
+            elif cfg.task == "segment":
+                coef_rows = out["mask_coef"][0][det.index]
+                extras["masks"] = process_masks(
+                    coef_rows, out["proto"][0],
+                    # crop in model-input coords
+                    jnp.where(det.valid[:, None],
+                              det.boxes * gain + jnp.concatenate([pad, pad]),
+                              0.0),
+                    (size, size),
+                )
+            return det, extras
+
+        @jax.jit
+        def detect_step(params, frame_u8):
+            return detect(params, frame_u8)
+
+        @jax.jit
+        def track_step(params, track_state, frame_u8, warp):
+            det, extras = detect(params, frame_u8)
+            track_state, out = bytetrack_step(
+                track_state,
+                det.boxes,
+                det.scores,
+                det.classes,
+                det.valid,
+                tracker_cfg,
+                warp=warp,
+            )
+            return track_state, det, out, extras
+
+        return detect_step, track_step, lp
+
+    def _get_step(self, src_hw):
+        if src_hw not in self._steps:
+            self._steps[src_hw] = self._make_step(src_hw)
+        return self._steps[src_hw]
+
+    # -- host-facing API -------------------------------------------------
+
+    def reset(self):
+        """New stream: clear tracker + GMC state (per-stream persistence
+        parity with ``persist=True`` at yolo_multi_model.py:41)."""
+        self.track_state = init_track_state(self.track_slots)
+        self.gmc.reset()
+
+    def predict(self, frame_bgr: np.ndarray) -> Results:
+        """Detect without tracking (reference ``model.predict``,
+        yolo_multi_model.py:173)."""
+        src_hw = frame_bgr.shape[:2]
+        detect_step, _, lp = self._get_step(src_hw)
+        det, extras = detect_step(self.params, jnp.asarray(frame_bgr))
+        det = jax.tree.map(np.asarray, det)
+        extras = {k: np.asarray(v) for k, v in extras.items()}
+        n = int(det.count)
+        boxes = Boxes(det.boxes[:n], det.scores[:n], det.classes[:n])
+        return Results(
+            boxes,
+            self.names,
+            masks=self._mk_masks(extras, np.arange(n), src_hw, lp),
+            keypoints=self._mk_kpts(extras, np.arange(n)),
+            orig_img=frame_bgr,
+        )
+
+    def track(self, frame_bgr: np.ndarray) -> Results:
+        """Detect + track (reference ``model.track`` with persist=True,
+        yolo_multi_model.py:41). Returns active tracks as rows."""
+        src_hw = frame_bgr.shape[:2]
+        _, track_step, lp = self._get_step(src_hw)
+        warp = jnp.asarray(self.gmc.apply(frame_bgr))
+        self.track_state, det, out, extras = track_step(
+            self.params, self.track_state, jnp.asarray(frame_bgr), warp
+        )
+        out = jax.tree.map(np.asarray, out)
+        extras = {k: np.asarray(v) for k, v in extras.items()}
+        rows = np.where(out.active)[0]
+        boxes = Boxes(
+            out.boxes[rows], out.score[rows], out.cls[rows],
+            id=out.track_id[rows],
+        )
+        det_rows = out.det_index[rows]
+        return Results(
+            boxes,
+            self.names,
+            masks=self._mk_masks(extras, det_rows, src_hw, lp),
+            keypoints=self._mk_kpts(extras, det_rows),
+            orig_img=frame_bgr,
+        )
+
+    def __call__(self, frame_bgr: np.ndarray, track: bool = True) -> Results:
+        return self.track(frame_bgr) if track else self.predict(frame_bgr)
+
+    def _mk_kpts(self, extras, det_rows):
+        if "keypoints" not in extras:
+            return None
+        safe = np.clip(det_rows, 0, len(extras["keypoints"]) - 1)
+        data = extras["keypoints"][safe]
+        data[det_rows < 0] = 0.0
+        return Keypoints(data)
+
+    def _mk_masks(self, extras, det_rows, src_hw, lp):
+        if "masks" not in extras:
+            return None
+        masks = extras["masks"]
+        safe = np.clip(det_rows, 0, len(masks) - 1)
+        data = masks[safe]
+        data[det_rows < 0] = 0.0
+        xy = masks_to_polygons(
+            data,
+            len(det_rows),
+            lp.gain,
+            (lp.pad_x, lp.pad_y),
+            src_hw,
+            (self.det_cfg.imgsz, self.det_cfg.imgsz),
+        )
+        return Masks(xy, data)

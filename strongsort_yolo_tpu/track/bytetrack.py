@@ -278,7 +278,9 @@ def bytetrack_step(
             det_scores >= cfg.new_track_thresh,
         ),
     )
-    state = _spawn(state, birth, det_meas, det_scores, det_cls, det_feats, cfg)
+    state, spawn_mask, spawn_det = _spawn(
+        state, birth, det_meas, det_scores, det_cls, det_feats, cfg
+    )
 
     # --- prune stale lost tracks ---
     stale = jnp.logical_and(
@@ -292,12 +294,26 @@ def bytetrack_step(
     )
 
     active = jnp.logical_and(state.status == STATUS_TRACKED, state.activated)
+    det_index = jnp.where(
+        m1,
+        a1.row_to_col,
+        jnp.where(
+            m2,
+            a2.row_to_col,
+            jnp.where(
+                m3,
+                a3.row_to_col,
+                jnp.where(spawn_mask, spawn_det, -1),
+            ),
+        ),
+    ).astype(jnp.int32)
     out = TrackOutputs(
         boxes=_to_xyxy(state.mean[:, :4], form),
         track_id=state.track_id,
         score=state.score,
         cls=state.cls,
         active=active,
+        det_index=det_index,
     )
     return state, out
 
@@ -310,9 +326,10 @@ def _spawn(
     det_cls: jnp.ndarray,
     det_feats: jnp.ndarray | None,
     cfg: ByteTrackConfig,
-) -> TrackState:
+) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Allocate EMPTY slots to birth detections, in det-index order
-    (track ids then match the reference's sequential next_id order)."""
+    (track ids then match the reference's sequential next_id order).
+    Returns (state, spawn_mask (K,), slot_det (K,))."""
     k = state.status.shape[0]
     n = birth.shape[0]
     empty = state.status == STATUS_EMPTY
@@ -362,4 +379,4 @@ def _spawn(
         next_id=state.next_id + jnp.minimum(n_birth, n_empty),
         dropped_births=state.dropped_births
         + jnp.maximum(n_birth - n_empty, 0),
-    )
+    ), sm, slot_det

@@ -50,6 +50,8 @@ class TrackOutputs(NamedTuple):
     score: jnp.ndarray  # (K,) float32
     cls: jnp.ndarray  # (K,) int32
     active: jnp.ndarray  # (K,) bool — rows to draw/log this frame
+    det_index: jnp.ndarray  # (K,) int32 — detection that updated this
+    # slot this frame (-1 if none); carries masks/kpts to track rows
 
 
 def init_track_state(num_slots: int = 128, feat_dim: int = 0) -> TrackState:
