@@ -14,6 +14,9 @@ import dataclasses
 import os
 
 from strongsort_yolo_tpu.track.bytetrack import ByteTrackConfig
+from strongsort_yolo_tpu.track.strongsort import StrongSortConfig
+
+TrackerConfig = ByteTrackConfig | StrongSortConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +45,16 @@ _BUILTIN_TRACKERS = {
         tracker_type="bytetrack", gmc_method="none"
     ),
     "bytetrack": ByteTrackConfig(tracker_type="bytetrack", gmc_method="none"),
+    "botsort-reid.yaml": ByteTrackConfig(tracker_type="botsort", with_reid=True),
+    "botsort-reid": ByteTrackConfig(tracker_type="botsort", with_reid=True),
+    "strongsort.yaml": StrongSortConfig(),
+    "strongsort": StrongSortConfig(),
+}
+
+_STRONGSORT_YAML_KEYS = {
+    "det_thresh", "max_cosine_distance", "lambda_appearance",
+    "match_thresh", "max_iou_distance", "max_age", "n_init", "ema_alpha",
+    "gmc_method",
 }
 
 _TRACKER_YAML_KEYS = {
@@ -59,7 +72,7 @@ _TRACKER_YAML_KEYS = {
 }
 
 
-def load_tracker_config(name_or_path: str) -> ByteTrackConfig:
+def load_tracker_config(name_or_path: str) -> TrackerConfig:
     """Resolve a tracker config by built-in name or YAML file path."""
     if name_or_path in _BUILTIN_TRACKERS:
         return _BUILTIN_TRACKERS[name_or_path]
@@ -68,6 +81,11 @@ def load_tracker_config(name_or_path: str) -> ByteTrackConfig:
 
         with open(name_or_path) as f:
             raw = yaml.safe_load(f) or {}
+        if raw.get("tracker_type") == "strongsort":
+            kwargs = {
+                k: v for k, v in raw.items() if k in _STRONGSORT_YAML_KEYS
+            }
+            return StrongSortConfig(**kwargs)
         kwargs = {
             _TRACKER_YAML_KEYS[k]: v
             for k, v in raw.items()

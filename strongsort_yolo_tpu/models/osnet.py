@@ -1,0 +1,178 @@
+"""OSNet — omni-scale ReID embedder (StrongSORT appearance model).
+
+SURVEY.md H1: the StrongSORT configs in BASELINE.json require OSNet
+appearance embeddings. Architecture follows the OSNet paper (Zhou et
+al., omni-scale feature learning): a stem conv, three stages of OS
+blocks — each OS block runs T=1..4 stacked "Lite" 3x3 convs
+(pointwise + depthwise) in parallel streams, fuses them with a shared
+channel-attention aggregation gate, and projects back with a residual
+— with 1x1+avgpool transitions, ending in global pooling and a 512-d
+fc embedding.
+
+TPU-first: NHWC functional blocks from models/common.py; the whole
+embedder runs batched over all detection crops of a frame (one
+(M, 128, 64, 3) tensor from ops/crops.py), bf16-friendly. Embeddings
+are L2-normalized on device so the tracker's cosine costs are one
+matmul (track/cost.py).
+
+Width multipliers follow the released variants: x1_0 -> (64, 256, 384,
+512), x0_5, x0_25 (the tracking default: (16, 64, 96, 128)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from strongsort_yolo_tpu.models import common as C
+
+Params = dict[str, Any]
+
+VARIANTS = {
+    "osnet_x1_0": 1.0,
+    "osnet_x0_75": 0.75,
+    "osnet_x0_5": 0.5,
+    "osnet_x0_25": 0.25,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class OsnetConfig:
+    variant: str = "osnet_x0_25"
+    feat_dim: int = 512
+    crop_hw: tuple[int, int] = (128, 64)
+
+    @property
+    def channels(self) -> tuple[int, int, int, int]:
+        m = VARIANTS[self.variant]
+        return tuple(int(c * m) for c in (64, 256, 384, 512))
+
+
+def _init_lite_conv(key, c_in, c_out):
+    """Lite 3x3 = 1x1 pointwise + 3x3 depthwise (OSNet building unit)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "pw": C.init_conv(k1, c_in, c_out, 1),
+        "dw": C.init_conv(k2, c_out, c_out, 3, groups=c_out),
+    }
+
+
+def _lite_conv_apply(p, x):
+    x = C.conv_apply(p["pw"], x)
+    return C.conv_apply(p["dw"], x, groups=x.shape[-1])
+
+
+def _init_gate(key, c):
+    """Aggregation gate: squeeze -> fc -> relu -> fc -> sigmoid,
+    shared across streams of a block."""
+    k1, k2 = jax.random.split(key)
+    r = max(c // 16, 4)
+    return {
+        "fc1": C.init_conv2d_bias(k1, c, r, 1),
+        "fc2": C.init_conv2d_bias(k2, r, c, 1),
+    }
+
+
+def _gate_apply(p, x):
+    s = jnp.mean(x, axis=(1, 2), keepdims=True)  # (N,1,1,C)
+    s = jax.nn.relu(C.conv2d_bias_apply(p["fc1"], s))
+    s = jax.nn.sigmoid(C.conv2d_bias_apply(p["fc2"], s))
+    return x * s
+
+
+def _init_os_block(key, c_in, c_out, streams: int = 4):
+    mid = c_out // 4
+    ks = jax.random.split(key, 3 + streams + sum(range(streams + 1)))
+    p = {
+        "conv1": C.init_conv(ks[0], c_in, mid, 1),
+        "gate": _init_gate(ks[1], mid),
+        "conv3": C.init_conv(ks[2], mid, c_out, 1),
+        "streams": [],
+    }
+    ki = 3
+    for t in range(1, streams + 1):
+        convs = []
+        for _ in range(t):
+            convs.append(_init_lite_conv(ks[ki], mid, mid))
+            ki += 1
+        p["streams"].append(convs)
+    if c_in != c_out:
+        p["down"] = C.init_conv(jax.random.split(ks[0])[0], c_in, c_out, 1)
+    return p
+
+
+def _os_block_apply(p, x):
+    y = C.conv_apply(p["conv1"], x)
+    agg = None
+    for convs in p["streams"]:
+        s = y
+        for cp in convs:
+            s = _lite_conv_apply(cp, s)
+        s = _gate_apply(p["gate"], s)
+        agg = s if agg is None else agg + s
+    out = C.conv_apply(p["conv3"], agg, act=False)
+    res = x if "down" not in p else C.conv_apply(p["down"], x, act=False)
+    return jax.nn.relu(out + res)
+
+
+def init_osnet(key: jax.Array, cfg: OsnetConfig = OsnetConfig()) -> Params:
+    c1, c2, c3, c4 = cfg.channels
+    ks = jax.random.split(key, 12)
+    return {
+        "stem": C.init_conv(ks[0], 3, c1, 7),
+        "b2a": _init_os_block(ks[1], c1, c2),
+        "b2b": _init_os_block(ks[2], c2, c2),
+        "t2": C.init_conv(ks[3], c2, c2, 1),
+        "b3a": _init_os_block(ks[4], c2, c3),
+        "b3b": _init_os_block(ks[5], c3, c3),
+        "t3": C.init_conv(ks[6], c3, c3, 1),
+        "b4a": _init_os_block(ks[7], c3, c4),
+        "b4b": _init_os_block(ks[8], c4, c4),
+        "conv5": C.init_conv(ks[9], c4, c4, 1),
+        "fc": C.init_conv2d_bias(ks[10], c4, cfg.feat_dim, 1),
+    }
+
+
+def _avgpool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    ) / 4.0
+
+
+def _maxpool_s2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def osnet_apply(
+    params: Params,
+    crops: jnp.ndarray,  # (M, 128, 64, 3) in [0,1]
+    *,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """-> (M, feat_dim) L2-normalized appearance embeddings."""
+    # ImageNet normalization (standard for ReID backbones)
+    mean = jnp.asarray([0.485, 0.456, 0.406], compute_dtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], compute_dtype)
+    x = (crops.astype(compute_dtype) - mean) / std
+    x = C.conv_apply(params["stem"], x, stride=2)
+    x = _maxpool_s2(x)
+    x = _os_block_apply(params["b2a"], x)
+    x = _os_block_apply(params["b2b"], x)
+    x = _avgpool2(C.conv_apply(params["t2"], x))
+    x = _os_block_apply(params["b3a"], x)
+    x = _os_block_apply(params["b3b"], x)
+    x = _avgpool2(C.conv_apply(params["t3"], x))
+    x = _os_block_apply(params["b4a"], x)
+    x = _os_block_apply(params["b4b"], x)
+    x = C.conv_apply(params["conv5"], x)
+    x = jnp.mean(x, axis=(1, 2))  # global average pool -> (M, c4)
+    feat = C.conv2d_bias_apply(params["fc"], x[:, None, None, :])[:, 0, 0, :]
+    feat = feat.astype(jnp.float32)
+    return feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)

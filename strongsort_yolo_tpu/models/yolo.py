@@ -272,15 +272,20 @@ def init_detect_head(key: jax.Array, cfg: YoloConfig) -> Params:
     c3 = max(ch[0], min(cfg.nc, 100))
     ks = jax.random.split(key, 2 * len(ch))
     dw_cls = cfg.family == "v11"
-    return {
-        "box": [
-            _init_branch(ks[i], ch[i], c2, 4 * cfg.reg_max) for i in range(3)
-        ],
-        "cls": [
-            _init_branch(ks[3 + i], ch[i], c3, cfg.nc, dw=dw_cls)
-            for i in range(3)
-        ],
-    }
+    box = [_init_branch(ks[i], ch[i], c2, 4 * cfg.reg_max) for i in range(3)]
+    cls = [
+        _init_branch(ks[3 + i], ch[i], c3, cfg.nc, dw=dw_cls)
+        for i in range(3)
+    ]
+    # Detection-prior bias init (standard v8 practice): box bias 1.0;
+    # cls bias set so the initial objectness matches ~5 objects per
+    # 640px image at each stride — stabilizes training AND makes an
+    # untrained model's candidate statistics realistic (sparse).
+    for i, s in enumerate(cfg.strides):
+        box[i]["out"]["b"] = jnp.full_like(box[i]["out"]["b"], 1.0)
+        prior = math.log(5.0 / cfg.nc / (640.0 / s) ** 2)
+        cls[i]["out"]["b"] = jnp.full_like(cls[i]["out"]["b"], prior)
+    return {"box": box, "cls": cls}
 
 
 def detect_head_apply(

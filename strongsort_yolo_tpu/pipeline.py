@@ -43,6 +43,7 @@ from strongsort_yolo_tpu.ops.masks import masks_to_polygons, process_masks
 from strongsort_yolo_tpu.ops.nms import non_max_suppression
 from strongsort_yolo_tpu.ops.boxes import scale_boxes
 from strongsort_yolo_tpu.track.bytetrack import ByteTrackConfig, bytetrack_step
+from strongsort_yolo_tpu.track.strongsort import StrongSortConfig, strongsort_step
 from strongsort_yolo_tpu.track.gmc import make_gmc
 from strongsort_yolo_tpu.track.state import init_track_state
 from strongsort_yolo_tpu.utils.coco_names import COCO_NAMES
@@ -145,13 +146,16 @@ class Pipeline:
     def __init__(
         self,
         det_cfg: DetectorConfig = DetectorConfig(),
-        tracker: str | ByteTrackConfig = "botsort.yaml",
+        tracker: str | ByteTrackConfig | StrongSortConfig = "botsort.yaml",
         *,
         params: Any | None = None,
         model_cfg: YoloConfig | None = None,
         track_slots: int = 256,
         seed: int = 0,
         names: dict[int, str] | None = None,
+        reid_weights: str | None = None,  # OSNet variant name or ckpt
+        reid_params: Any | None = None,
+        reid_topk: int = 128,  # dets embedded per frame (fixed shape)
     ):
         self.det_cfg = det_cfg
         self.model_cfg = model_cfg or build_model(det_cfg.weights)
@@ -172,16 +176,37 @@ class Pipeline:
         self.names = names or dict(COCO_NAMES)
         self.tracker_cfg = (
             tracker
-            if isinstance(tracker, ByteTrackConfig)
+            if isinstance(tracker, (ByteTrackConfig, StrongSortConfig))
             else load_tracker_config(tracker)
         )
+        self.is_strongsort = isinstance(self.tracker_cfg, StrongSortConfig)
+        needs_reid = self.is_strongsort or self.tracker_cfg.with_reid
+        self.reid_cfg = None
+        self.reid_params = None
+        self.reid_topk = reid_topk
+        feat_dim = 1
+        if needs_reid:
+            from strongsort_yolo_tpu.models.osnet import (
+                OsnetConfig, init_osnet,
+            )
+
+            self.reid_cfg = OsnetConfig(
+                variant=reid_weights or "osnet_x0_25"
+            )
+            self.reid_params = reid_params or init_osnet(
+                jax.random.PRNGKey(seed + 1), self.reid_cfg
+            )
+            feat_dim = self.reid_cfg.feat_dim
         self.track_slots = track_slots
-        self.track_state = init_track_state(track_slots)
-        self.gmc = make_gmc(
-            self.tracker_cfg.gmc_method
-            if self.tracker_cfg.tracker_type == "botsort"
-            else "none"
-        )
+        self.feat_dim = feat_dim
+        self.track_state = init_track_state(track_slots, feat_dim=feat_dim)
+        if self.is_strongsort:
+            gmc_method = self.tracker_cfg.gmc_method
+        elif self.tracker_cfg.tracker_type == "botsort":
+            gmc_method = self.tracker_cfg.gmc_method
+        else:
+            gmc_method = "none"
+        self.gmc = make_gmc(gmc_method)
         self.compute_dtype = jnp.bfloat16 if det_cfg.half else jnp.float32
         self._steps: dict[tuple[int, int], Any] = {}
 
@@ -248,18 +273,49 @@ class Pipeline:
         def detect_step(params, frame_u8):
             return detect(params, frame_u8)
 
+        reid_params = self.reid_params
+        reid_cfg = self.reid_cfg
+        reid_topk = min(self.reid_topk, det_cfg.max_det)
+        is_strongsort = self.is_strongsort
+
+        def embed(frame_u8, det):
+            """Batched crop-gather + OSNet embed for the top-k dets
+            (SURVEY.md H1 — one device pass, no per-det loops)."""
+            from strongsort_yolo_tpu.models.osnet import osnet_apply
+            from strongsort_yolo_tpu.ops.crops import crop_and_resize
+
+            boxes = det.boxes[:reid_topk]
+            crops = crop_and_resize(
+                frame_u8.astype(compute_dtype) / 255.0,
+                boxes, reid_cfg.crop_hw,
+            )
+            feats = osnet_apply(
+                reid_params, crops, compute_dtype=compute_dtype
+            )
+            feats = jnp.where(det.valid[:reid_topk, None], feats, 0.0)
+            if reid_topk < det_cfg.max_det:
+                feats = jnp.pad(
+                    feats, ((0, det_cfg.max_det - reid_topk), (0, 0))
+                )
+            return feats
+
         @jax.jit
         def track_step(params, track_state, frame_u8, warp):
             det, extras = detect(params, frame_u8)
-            track_state, out = bytetrack_step(
-                track_state,
-                det.boxes,
-                det.scores,
-                det.classes,
-                det.valid,
-                tracker_cfg,
-                warp=warp,
-            )
+            if is_strongsort:
+                feats = embed(frame_u8, det)
+                track_state, out = strongsort_step(
+                    track_state, det.boxes, det.scores, det.classes,
+                    det.valid, feats, tracker_cfg, warp=warp,
+                )
+            else:
+                feats = (
+                    embed(frame_u8, det) if tracker_cfg.with_reid else None
+                )
+                track_state, out = bytetrack_step(
+                    track_state, det.boxes, det.scores, det.classes,
+                    det.valid, tracker_cfg, det_feats=feats, warp=warp,
+                )
             return track_state, det, out, extras
 
         return detect_step, track_step, lp
@@ -274,7 +330,7 @@ class Pipeline:
     def reset(self):
         """New stream: clear tracker + GMC state (per-stream persistence
         parity with ``persist=True`` at yolo_multi_model.py:41)."""
-        self.track_state = init_track_state(self.track_slots)
+        self.track_state = init_track_state(self.track_slots, feat_dim=self.feat_dim)
         self.gmc.reset()
 
     def predict(self, frame_bgr: np.ndarray) -> Results:

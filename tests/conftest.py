@@ -3,11 +3,17 @@
 Tests must run without a TPU (SURVEY.md §4). The virtual 8-device mesh
 exercises the multi-chip sharding paths (parallel/) exactly as the
 driver's ``dryrun_multichip`` does.
+
+This environment ships an ``axon`` TPU PJRT plugin that a
+sitecustomize registers whenever PALLAS_AXON_POOL_IPS is set,
+overriding JAX_PLATFORMS — drop that var before jax loads so the test
+suite really runs on CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

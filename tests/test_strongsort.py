@@ -1,0 +1,134 @@
+"""StrongSORT step: lifecycle + appearance-driven identity tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from strongsort_yolo_tpu.track.strongsort import StrongSortConfig, strongsort_step
+from strongsort_yolo_tpu.track.state import init_track_state
+
+N_DET = 8
+D = 16
+CFG = StrongSortConfig()
+
+step = jax.jit(strongsort_step, static_argnums=(6,))
+
+
+def embed(seed):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(0, 1, D)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def frame(dets):
+    """dets: list of (x1,y1,x2,y2,score,cls,emb_seed)."""
+    boxes = np.zeros((N_DET, 4), np.float32)
+    scores = np.zeros((N_DET,), np.float32)
+    cls = np.zeros((N_DET,), np.int32)
+    valid = np.zeros((N_DET,), bool)
+    feats = np.zeros((N_DET, D), np.float32)
+    for i, d in enumerate(dets):
+        boxes[i] = d[:4]
+        scores[i] = d[4]
+        cls[i] = d[5]
+        feats[i] = embed(d[6])
+        valid[i] = True
+    return tuple(map(jnp.asarray, (boxes, scores, cls, valid, feats)))
+
+
+def run(frames, cfg=CFG, slots=32):
+    state = init_track_state(slots, feat_dim=D)
+    outs = []
+    for dets in frames:
+        state, out = step(state, *frame(dets), cfg)
+        outs.append(jax.tree.map(np.asarray, out))
+    return state, outs
+
+
+def active(out):
+    return {
+        int(out.track_id[i]): out.boxes[i]
+        for i in range(len(out.active))
+        if out.active[i]
+    }
+
+
+def box(t, x0=100, y0=100, vx=4, vy=2, w=40, h=80):
+    x, y = x0 + vx * t, y0 + vy * t
+    return (x, y, x + w, y + h)
+
+
+def test_confirmation_after_n_init():
+    frames = [[(*box(t), 0.9, 0, 7)] for t in range(5)]
+    _, outs = run(frames)
+    assert active(outs[0]) == {}  # tentative
+    assert active(outs[1]) == {}
+    assert set(active(outs[2])) == {1}  # hit 3 == n_init -> confirmed
+    assert set(active(outs[4])) == {1}
+
+
+def test_tentative_dies_on_single_miss():
+    frames = [
+        [(*box(0), 0.9, 0, 7)],
+        [],
+        [(*box(2), 0.9, 0, 7)],
+        [(*box(3), 0.9, 0, 7)],
+        [(*box(4), 0.9, 0, 7)],
+    ]
+    _, outs = run(frames)
+    # first track died tentative; new track (id 2) confirms at frame 5
+    assert set(active(outs[4])) == {2}
+
+
+def test_appearance_resolves_crossover():
+    """Two objects swap positions; ReID must keep ids glued to their
+    embeddings, not their positions."""
+    a_seed, b_seed = 11, 23
+    frames = []
+    # approach: A at x=100 moving right, B at x=300 moving left
+    for t in range(12):
+        xa = 100.0 + 18.0 * t
+        xb = 300.0 - 18.0 * t
+        frames.append(
+            [
+                (xa, 100.0, xa + 40, 180.0, 0.9, 0, a_seed),
+                (xb, 100.0, xb + 40, 180.0, 0.9, 0, b_seed),
+            ]
+        )
+    _, outs = run(frames)
+    ids0 = active(outs[2])
+    # find which id has which embedding by x position at confirmation
+    id_a = min(ids0, key=lambda i: ids0[i][0])
+    id_b = max(ids0, key=lambda i: ids0[i][0])
+    assert id_a != id_b
+    last = active(outs[-1])
+    assert set(last) == {id_a, id_b}
+    # after crossing, A (which started left) is now on the right
+    assert last[id_a][0] > last[id_b][0]
+
+
+def test_occlusion_reid_recovery():
+    frames = [[(*box(t), 0.9, 0, 5)] for t in range(4)]
+    frames += [[]] * 6  # occluded, within max_age
+    frames += [[(*box(10 + i), 0.9, 0, 5)] for i in range(2)]
+    _, outs = run(frames)
+    assert set(active(outs[3])) == {1}
+    assert active(outs[9]) == {}
+    assert set(active(outs[-1])) == {1}  # same id after reappearing
+
+
+def test_max_age_prunes():
+    cfg = StrongSortConfig(max_age=3)
+    frames = [[(*box(t), 0.9, 0, 5)] for t in range(4)]
+    frames += [[]] * 6
+    frames += [[(*box(10), 0.9, 0, 5)], [(*box(11), 0.9, 0, 5)],
+               [(*box(12), 0.9, 0, 5)]]
+    _, outs = run(frames, cfg)
+    assert set(active(outs[-1])) == {2}  # old id was pruned
+
+
+def test_low_conf_detections_ignored():
+    frames = [[(*box(t), 0.1, 0, 5)] for t in range(4)]
+    _, outs = run(frames)
+    for out in outs:
+        assert active(out) == {}
