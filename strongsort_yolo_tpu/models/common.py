@@ -76,15 +76,18 @@ def conv_apply(
     dilation: int = 1,
     act: bool = True,
     eps: float = 1e-3,
+    pad: int | None = None,
 ) -> jnp.ndarray:
     """Conv -> BN (inference stats) -> SiLU. NHWC in/out.
 
     When the params were produced by ``fuse_conv_bn`` ("b" present, BN
-    keys absent) the BN math is skipped entirely.
+    keys absent) the BN math is skipped entirely. ``pad`` overrides the
+    'same' autopad (even kernels, e.g. the v5 6x6/2 stem uses pad=2).
     """
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
-    pad = autopad(k, dilation)
+    if pad is None:
+        pad = autopad(k, dilation)
     y = jax.lax.conv_general_dilated(
         x,
         w,

@@ -158,16 +158,29 @@ class Pipeline:
         reid_topk: int = 128,  # dets embedded per frame (fixed shape)
     ):
         self.det_cfg = det_cfg
-        self.model_cfg = model_cfg or build_model(det_cfg.weights)
-        if params is None:
-            import os
+        import os
 
+        if model_cfg is not None:
+            self.model_cfg = model_cfg
+        elif not os.path.exists(det_cfg.weights) and det_cfg.weights.lower().startswith("yolov5"):
+            from strongsort_yolo_tpu.models.yolov5 import build_v5
+
+            self.model_cfg = build_v5(det_cfg.weights)
+        else:
+            self.model_cfg = (
+                None if os.path.exists(det_cfg.weights) else build_model(det_cfg.weights)
+            )
+        if params is None:
             if os.path.exists(det_cfg.weights):
                 from strongsort_yolo_tpu.models.porting import load_checkpoint
 
                 params, cfg_loaded, names_loaded = load_checkpoint(det_cfg.weights)
                 self.model_cfg = cfg_loaded
                 names = names or names_loaded
+            elif self._is_v5:
+                from strongsort_yolo_tpu.models.yolov5 import init_yolov5
+
+                params = init_yolov5(jax.random.PRNGKey(seed), self.model_cfg)
             else:
                 params = init_model(jax.random.PRNGKey(seed), self.model_cfg)
         if det_cfg.fuse:
@@ -210,6 +223,12 @@ class Pipeline:
         self.compute_dtype = jnp.bfloat16 if det_cfg.half else jnp.float32
         self._steps: dict[tuple[int, int], Any] = {}
 
+    @property
+    def _is_v5(self):
+        from strongsort_yolo_tpu.models.yolov5 import Yolov5Config
+
+        return isinstance(self.model_cfg, Yolov5Config)
+
     # -- jitted step construction --------------------------------------
 
     def _class_filter(self):
@@ -232,13 +251,28 @@ class Pipeline:
         tracker_cfg = self.tracker_cfg
         compute_dtype = self.compute_dtype
 
+        is_v5 = self._is_v5
+
         def detect(params, frame_u8):
             img = letterbox(frame_u8, lp, dtype=compute_dtype)
-            out = model_apply(params, img[None], cfg, compute_dtype=compute_dtype)
-            boxes_in = decode_boxes(
-                out["box_logits"][0], anchors, strides, cfg.reg_max
-            )
-            scores = jax.nn.sigmoid(out["cls_logits"][0])
+            if is_v5:
+                from strongsort_yolo_tpu.models.yolov5 import yolov5_apply
+
+                out = yolov5_apply(
+                    params, img[None], cfg, compute_dtype=compute_dtype
+                )
+            else:
+                out = model_apply(
+                    params, img[None], cfg, compute_dtype=compute_dtype
+                )
+            if "boxes" in out:  # anchor-based v5: already decoded
+                boxes_in = out["boxes"][0]
+                scores = out["scores"][0]
+            else:
+                boxes_in = decode_boxes(
+                    out["box_logits"][0], anchors, strides, cfg.reg_max
+                )
+                scores = jax.nn.sigmoid(out["cls_logits"][0])
             det = non_max_suppression(
                 boxes_in,
                 scores,
