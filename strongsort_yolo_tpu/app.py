@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 from strongsort_yolo_tpu.config import DetectorConfig
-from strongsort_yolo_tpu.media.annotator import Annotator
+from strongsort_yolo_tpu.media.annotator import make_annotator
 from strongsort_yolo_tpu.media.video import SyntheticSource, VideoReader, VideoWriter
 from strongsort_yolo_tpu.pipeline import Pipeline
 from strongsort_yolo_tpu.utils.counting import StreamingCounter
@@ -107,7 +107,7 @@ def process_video(
         return stats
 
     pipeline.reset()
-    annotator = Annotator(pipeline.names, seed=cfg.seed)
+    annotator = make_annotator(pipeline.names, seed=cfg.seed)
     trails = TrajectoryMemory()
     counter = StreamingCounter(pipeline.names)
     fps = FpsMeter()
