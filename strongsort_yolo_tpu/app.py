@@ -66,6 +66,9 @@ class StreamStats:
     counts: dict | None = None
     output_video: str | None = None
     labels_file: str | None = None
+    errors: int = 0  # frames skipped on processing errors (SURVEY §5.3)
+    failed: str | None = None  # stream-fatal error, if any
+    stage_times: dict | None = None  # per-stage profile (SURVEY §5.1)
 
 
 def _stream_name(source: str, used: set[str]) -> str:
@@ -122,6 +125,9 @@ def process_video(
         label_writer = LabelWriter(labels_path, compat=cfg.compat_labels)
         stats.labels_file = labels_path
 
+    from strongsort_yolo_tpu.utils.profiling import StageTimers
+
+    timers = StageTimers()
     t0 = time.time()
     frame_id = 0
     try:
@@ -129,24 +135,33 @@ def process_video(
             frame_id += 1
             if cfg.max_frames and frame_id > cfg.max_frames:
                 break
-            results = pipeline(frame, track=cfg.track)
+            try:
+                with timers.stage("infer_track"):
+                    results = pipeline(frame, track=cfg.track)
+            except Exception as e:  # corrupt frame: skip, keep stream
+                stats.errors += 1
+                print(f"[WARN] {source} frame {frame_id} skipped: {e}")
+                continue
 
-            if cfg.track:
-                trails.update(results.boxes)
-                if label_writer:
-                    label_writer.write_frame(frame_id, results.boxes)
-                if cfg.count:
-                    counter.update(results.boxes)
+            with timers.stage("analytics"):
+                if cfg.track:
+                    trails.update(results.boxes)
+                    if label_writer:
+                        label_writer.write_frame(frame_id, results.boxes)
+                    if cfg.count:
+                        counter.update(results.boxes)
 
-            frame = annotator.draw_results(frame, results)
-            if cfg.track:
-                annotator.draw_trails(frame, trails)
-            if cfg.track and cfg.count:
-                frame = annotator.draw_counts(frame, counter.counts())
-            annotator.draw_fps(frame, fps.tick())
+            with timers.stage("draw"):
+                frame = annotator.draw_results(frame, results)
+                if cfg.track:
+                    annotator.draw_trails(frame, trails)
+                if cfg.track and cfg.count:
+                    frame = annotator.draw_counts(frame, counter.counts())
+                annotator.draw_fps(frame, fps.tick())
 
-            if writer:
-                writer.write(frame)
+            with timers.stage("encode"):
+                if writer:
+                    writer.write(frame)
             if cfg.show:
                 import cv2
 
@@ -169,6 +184,7 @@ def process_video(
     stats.frames = frame_id
     stats.mean_fps = frame_id / elapsed
     stats.counts = counter.counts() if cfg.count else None
+    stats.stage_times = timers.summary()
     return stats
 
 
@@ -193,7 +209,14 @@ def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
         name = _stream_name(
             source if isinstance(source, str) else "synthetic", used
         )
-        # per-stream pipeline shares params/jit cache via the same object
-        # state reset happens inside process_video
-        stats.append(process_video(cfg, source, name, base))
+        # per-stream pipeline shares params/jit cache via the same
+        # object; state reset happens inside process_video. One
+        # stream's failure must not kill the others (the reference got
+        # this from Pool process isolation, yolo_multi_model.py:353 —
+        # SURVEY.md §5.3).
+        try:
+            stats.append(process_video(cfg, source, name, base))
+        except Exception as e:
+            print(f"[ERROR] stream {source} failed: {e}")
+            stats.append(StreamStats(source=str(source), failed=str(e)))
     return stats

@@ -89,6 +89,7 @@ def non_max_suppression(
     pre_nms_topk: int = 1024,
     agnostic: bool = False,
     class_filter: jnp.ndarray | None = None,
+    backend: str = "auto",
 ) -> Detections:
     """Class-aware greedy NMS over one frame's raw predictions.
 
@@ -123,8 +124,20 @@ def non_max_suppression(
     ) * (0.0 if agnostic else MAX_WH)
     shifted = top_boxes + offset[:, None] * jnp.ones((1, 4), top_boxes.dtype)
 
-    iou = box_iou(shifted, shifted)
-    keep = _greedy_keep_fixpoint(iou, top_valid, iou_thres)
+    if backend == "auto":
+        on_tpu = jax.devices()[0].platform != "cpu"
+        backend = "pallas" if (on_tpu and k % 128 == 0 and k <= 512) else "xla"
+    if backend == "pallas":
+        from strongsort_yolo_tpu.ops.pallas.nms_kernel import pallas_nms_keep
+
+        # the kernel fuses IoU-matrix build + suppression in VMEM
+        keep = pallas_nms_keep(
+            shifted, jnp.where(top_valid, top_conf, -1.0),
+            iou_thres=iou_thres, conf_thres=conf_thres,
+        )
+    else:
+        iou = box_iou(shifted, shifted)
+        keep = _greedy_keep_fixpoint(iou, top_valid, iou_thres)
 
     # Select top max_det kept rows (already score-sorted). If fewer
     # candidates than max_det exist, pad the fixed-shape output.
