@@ -98,8 +98,8 @@ def solve_assignment(
     row_valid: jnp.ndarray | None = None,
     col_valid: jnp.ndarray | None = None,
     *,
-    eps_final_rel: float = 1e-3,
-    theta: float = 7.0,
+    eps_final_rel: float = 5e-3,
+    theta: float = 12.0,
     rounds_per_phase_factor: int = 16,
 ) -> AssignmentResult:
     """Min-cost assignment with a cost limit, fixed shape, jit-safe.

@@ -79,6 +79,58 @@ def _greedy_keep_fixpoint(
     return keep
 
 
+def nms_from_logits(
+    box_logits: jnp.ndarray,  # (A, 4*reg_max) raw DFL logits
+    cls_logits: jnp.ndarray,  # (A, nc) raw class logits
+    anchors: jnp.ndarray,  # (A, 2)
+    strides: jnp.ndarray,  # (A, 1)
+    *,
+    reg_max: int = 16,
+    conf_thres: float = 0.3,
+    iou_thres: float = 0.4,
+    max_det: int = 300,
+    pre_nms_topk: int = 512,
+    agnostic: bool = False,
+    class_filter: jnp.ndarray | None = None,
+    backend: str = "auto",
+    approx_topk: bool = True,
+) -> Detections:
+    """Candidate-select FIRST, decode second — the fused fast path for
+    anchor-free heads. Selecting the top-K anchors by best-class score
+    before the DFL softmax/expectation means only K rows are decoded
+    and gathered, and the (slow on TPU) full sort over A anchors is
+    replaced by ``jax.lax.approx_max_k`` (exact for the realistic case
+    K >> #candidates-above-threshold; set approx_topk=False for the
+    bitwise-conservative path)."""
+    from strongsort_yolo_tpu.ops.decode import decode_boxes
+
+    a, nc = cls_logits.shape
+    # best-class confidence per anchor without materializing probs:
+    # sigmoid is monotone, so rank by max logit and sigmoid the winner
+    if class_filter is not None:
+        cls_logits = jnp.where(class_filter[None, :], cls_logits, -1e9)
+    best_logit = jnp.max(cls_logits, axis=-1)
+    k = min(pre_nms_topk, a)
+    if approx_topk:
+        top_logit, top_idx = jax.lax.approx_max_k(best_logit, k)
+    else:
+        top_logit, top_idx = jax.lax.top_k(best_logit, k)
+    top_conf = jax.nn.sigmoid(top_logit)
+    top_cls = jnp.argmax(cls_logits[top_idx], axis=-1).astype(jnp.int32)
+    top_valid = top_conf >= conf_thres
+
+    top_boxes = decode_boxes(
+        box_logits[top_idx], anchors[top_idx], strides[top_idx], reg_max
+    )
+    det = _nms_on_candidates(
+        top_boxes, top_conf, top_cls, top_valid,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+        agnostic=agnostic, backend=backend,
+    )
+    # remap candidate index -> anchor index
+    return det._replace(index=top_idx[det.index].astype(jnp.int32))
+
+
 def non_max_suppression(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -86,7 +138,7 @@ def non_max_suppression(
     conf_thres: float = 0.3,
     iou_thres: float = 0.4,
     max_det: int = 300,
-    pre_nms_topk: int = 1024,
+    pre_nms_topk: int = 512,
     agnostic: bool = False,
     class_filter: jnp.ndarray | None = None,
     backend: str = "auto",
@@ -119,6 +171,29 @@ def non_max_suppression(
     top_cls = cls[top_idx]
     top_valid = top_conf >= conf_thres
 
+    det = _nms_on_candidates(
+        top_boxes, top_conf, top_cls, top_valid,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+        agnostic=agnostic, backend=backend,
+    )
+    return det._replace(index=top_idx[det.index].astype(jnp.int32))
+
+
+def _nms_on_candidates(
+    top_boxes: jnp.ndarray,  # (K, 4) score-desc-sorted
+    top_conf: jnp.ndarray,  # (K,)
+    top_cls: jnp.ndarray,  # (K,) int32
+    top_valid: jnp.ndarray,  # (K,) bool
+    *,
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int,
+    agnostic: bool,
+    backend: str,
+) -> Detections:
+    """Suppression + final selection over pre-ranked candidates.
+    Returned ``index`` is the row within the candidate arrays."""
+    k = top_boxes.shape[0]
     offset = jnp.where(
         top_valid, top_cls.astype(jnp.float32), 0.0
     ) * (0.0 if agnostic else MAX_WH)
@@ -151,6 +226,6 @@ def non_max_suppression(
     out_boxes = jnp.where(out_valid[:, None], top_boxes[out_sel], 0.0)
     out_scores = jnp.where(out_valid, out_conf, 0.0)
     out_cls = jnp.where(out_valid, top_cls[out_sel], 0)
-    out_index = jnp.where(out_valid, top_idx[out_sel], 0).astype(jnp.int32)
+    out_index = jnp.where(out_valid, out_sel, 0).astype(jnp.int32)
     count = jnp.sum(out_valid.astype(jnp.int32))
     return Detections(out_boxes, out_scores, out_cls, count, out_valid, out_index)

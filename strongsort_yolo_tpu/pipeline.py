@@ -40,7 +40,7 @@ from strongsort_yolo_tpu.ops.decode import decode_boxes, make_anchors
 from strongsort_yolo_tpu.ops.keypoints import decode_keypoints, scale_keypoints
 from strongsort_yolo_tpu.ops.letterbox import letterbox, letterbox_params
 from strongsort_yolo_tpu.ops.masks import masks_to_polygons, process_masks
-from strongsort_yolo_tpu.ops.nms import non_max_suppression
+from strongsort_yolo_tpu.ops.nms import nms_from_logits, non_max_suppression
 from strongsort_yolo_tpu.ops.boxes import scale_boxes
 from strongsort_yolo_tpu.track.bytetrack import ByteTrackConfig, bytetrack_step
 from strongsort_yolo_tpu.track.strongsort import StrongSortConfig, strongsort_step
@@ -156,6 +156,9 @@ class Pipeline:
         reid_weights: str | None = None,  # OSNet variant name or ckpt
         reid_params: Any | None = None,
         reid_topk: int = 128,  # dets embedded per frame (fixed shape)
+        tracker_max_dets: int = 128,  # dets fed to association (the NMS
+        # output is confidence-sorted, so the top rows are exact; this
+        # bounds the auction problem size independently of max_det)
     ):
         self.det_cfg = det_cfg
         import os
@@ -211,6 +214,7 @@ class Pipeline:
             )
             feat_dim = self.reid_cfg.feat_dim
         self.track_slots = track_slots
+        self.tracker_max_dets = tracker_max_dets
         self.feat_dim = feat_dim
         self.track_state = init_track_state(track_slots, feat_dim=feat_dim)
         if self.is_strongsort:
@@ -265,23 +269,30 @@ class Pipeline:
                 out = model_apply(
                     params, img[None], cfg, compute_dtype=compute_dtype
                 )
-            if "boxes" in out:  # anchor-based v5: already decoded
-                boxes_in = out["boxes"][0]
-                scores = out["scores"][0]
-            else:
-                boxes_in = decode_boxes(
-                    out["box_logits"][0], anchors, strides, cfg.reg_max
+            if "boxes" in out:  # anchor-based v5/v7: already decoded
+                det = non_max_suppression(
+                    out["boxes"][0],
+                    out["scores"][0],
+                    conf_thres=det_cfg.conf,
+                    iou_thres=det_cfg.iou,
+                    max_det=det_cfg.max_det,
+                    agnostic=det_cfg.agnostic_nms,
+                    class_filter=class_filter,
                 )
-                scores = jax.nn.sigmoid(out["cls_logits"][0])
-            det = non_max_suppression(
-                boxes_in,
-                scores,
-                conf_thres=det_cfg.conf,
-                iou_thres=det_cfg.iou,
-                max_det=det_cfg.max_det,
-                agnostic=det_cfg.agnostic_nms,
-                class_filter=class_filter,
-            )
+            else:
+                # fused fast path: select candidates before DFL decode
+                det = nms_from_logits(
+                    out["box_logits"][0],
+                    out["cls_logits"][0],
+                    anchors,
+                    strides,
+                    reg_max=cfg.reg_max,
+                    conf_thres=det_cfg.conf,
+                    iou_thres=det_cfg.iou,
+                    max_det=det_cfg.max_det,
+                    agnostic=det_cfg.agnostic_nms,
+                    class_filter=class_filter,
+                )
             boxes_orig = scale_boxes(det.boxes, gain, pad, orig_hw)
             det = det._replace(boxes=jnp.where(det.valid[:, None], boxes_orig, 0.0))
             extras = {}
@@ -311,6 +322,7 @@ class Pipeline:
         reid_cfg = self.reid_cfg
         reid_topk = min(self.reid_topk, det_cfg.max_det)
         is_strongsort = self.is_strongsort
+        t_max = min(self.tracker_max_dets, det_cfg.max_det)
 
         def embed(frame_u8, det):
             """Batched crop-gather + OSNet embed for the top-k dets
@@ -336,19 +348,25 @@ class Pipeline:
         @jax.jit
         def track_step(params, track_state, frame_u8, warp):
             det, extras = detect(params, frame_u8)
+            # association sees the top tracker_max_dets rows (exact:
+            # NMS output is confidence-sorted)
+            tb, ts = det.boxes[:t_max], det.scores[:t_max]
+            tc, tv = det.classes[:t_max], det.valid[:t_max]
             if is_strongsort:
-                feats = embed(frame_u8, det)
+                feats = embed(frame_u8, det)[:t_max]
                 track_state, out = strongsort_step(
-                    track_state, det.boxes, det.scores, det.classes,
-                    det.valid, feats, tracker_cfg, warp=warp,
+                    track_state, tb, ts, tc, tv, feats, tracker_cfg,
+                    warp=warp,
                 )
             else:
                 feats = (
-                    embed(frame_u8, det) if tracker_cfg.with_reid else None
+                    embed(frame_u8, det)[:t_max]
+                    if tracker_cfg.with_reid
+                    else None
                 )
                 track_state, out = bytetrack_step(
-                    track_state, det.boxes, det.scores, det.classes,
-                    det.valid, tracker_cfg, det_feats=feats, warp=warp,
+                    track_state, tb, ts, tc, tv, tracker_cfg,
+                    det_feats=feats, warp=warp,
                 )
             return track_state, det, out, extras
 

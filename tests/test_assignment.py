@@ -63,7 +63,7 @@ def test_matches_oracle_cost_random(rng):
         np.testing.assert_allclose(
             total_cost(cost, r2c, thresh),
             total_cost(cost, oracle_r2c, thresh),
-            atol=5e-3,
+            atol=1e-2,
         )
 
 
@@ -100,7 +100,7 @@ def test_padding_masks(rng):
     np.testing.assert_allclose(
         total_cost(cost[:r, :c], r2c[:r], 0.7),
         total_cost(cost[:r, :c], oracle_r2c, 0.7),
-        atol=5e-3,
+        atol=1e-2,
     )
 
 
@@ -114,7 +114,7 @@ def test_rect_more_rows(rng):
     np.testing.assert_allclose(
         total_cost(cost, r2c, 0.9),
         total_cost(cost, oracle_r2c, 0.9),
-        atol=5e-3,
+        atol=1e-2,
     )
 
 

@@ -145,3 +145,32 @@ def test_nms_jits_once(rng):
     boxes2, scores2 = make_preds(rng)
     d2 = fn(jnp.asarray(boxes2), jnp.asarray(scores2))
     assert d1.boxes.shape == d2.boxes.shape
+
+
+def test_nms_from_logits_matches_decode_then_nms(rng):
+    """The fused path (select candidates -> decode) must agree with
+    decode-everything -> NMS on the same raw head outputs."""
+    from strongsort_yolo_tpu.ops.decode import decode_boxes, make_anchors
+    from strongsort_yolo_tpu.ops.nms import nms_from_logits
+
+    a = 8400
+    anchors, strides = make_anchors([(80, 80), (40, 40), (20, 20)], (8, 16, 32))
+    box_logits = jnp.asarray(rng.normal(0, 1, (a, 64)), jnp.float32)
+    cls_logits = jnp.asarray(rng.normal(-6, 2, (a, 80)), jnp.float32)
+    boxes = decode_boxes(box_logits, anchors, strides)
+    scores = jax.nn.sigmoid(cls_logits)
+    want = non_max_suppression(
+        boxes, scores, conf_thres=0.3, iou_thres=0.4, max_det=64,
+    )
+    got = nms_from_logits(
+        box_logits, cls_logits, anchors, strides,
+        conf_thres=0.3, iou_thres=0.4, max_det=64, approx_topk=False,
+    )
+    assert int(got.count) == int(want.count)
+    n = int(got.count)
+    np.testing.assert_allclose(
+        np.asarray(got.boxes[:n]), np.asarray(want.boxes[:n]), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.index[:n]), np.asarray(want.index[:n])
+    )
