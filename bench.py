@@ -74,9 +74,11 @@ def calibrate_candidates(pipe, frame, conf, target):
 
     logits = np.asarray(max_logits(pipe.params))  # (A,)
     want_logit = np.log(conf / (1 - conf))
-    # offset so that exactly ~target anchors exceed the conf threshold
+    # offset so the target-th anchor clears the threshold with margin —
+    # bf16 logits quantize coarsely, so landing exactly on the boundary
+    # flips the whole (tie-heavy) tail below it
     kth = np.partition(logits, -target)[-target]
-    offset = float(want_logit - kth)
+    offset = float(want_logit + 0.7 - kth)
 
     def shift(node):
         if isinstance(node, dict):
@@ -131,7 +133,10 @@ def main() -> None:
             jax.block_until_ready(out)
             log("first step done (compile)")
     jax.block_until_ready(out)
-    log("warmup done")
+    log(
+        f"warmup done; load: {int(det.count)} dets/frame, "
+        f"{int(np.asarray(out.active).sum())} active tracks"
+    )
 
     t0 = time.perf_counter()
     for i in range(FRAMES):

@@ -55,8 +55,7 @@ def _auction_phase(benefit: jnp.ndarray, price: jnp.ndarray, eps, max_rounds: in
         assign, owner, price, rounds = state
         return jnp.logical_and(jnp.any(assign < 0), rounds < max_rounds)
 
-    def body(state):
-        assign, owner, price, rounds = state
+    def one_round(assign, owner, price):
         values = benefit - price[None, :]
         best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
         best_v = jnp.max(values, axis=1)
@@ -82,7 +81,15 @@ def _auction_phase(benefit: jnp.ndarray, price: jnp.ndarray, eps, max_rounds: in
         new_assign = (
             jnp.full((s + 1,), -1, jnp.int32).at[owner_safe].set(idx)[:s]
         )
-        return new_assign, new_owner, new_price, rounds + 1
+        return new_assign, new_owner, new_price
+
+    def body(state):
+        assign, owner, price, rounds = state
+        # two Jacobi rounds per loop iteration: halves the while_loop
+        # dispatch overhead that dominates small problems on TPU
+        assign, owner, price = one_round(assign, owner, price)
+        assign, owner, price = one_round(assign, owner, price)
+        return assign, owner, price, rounds + 2
 
     assign0 = jnp.full((s,), -1, jnp.int32)
     owner0 = jnp.full((s,), -1, jnp.int32)
@@ -141,8 +148,11 @@ def solve_assignment(
 
     benefit = jnp.block([[b_rr, b_rd], [b_dr, b_dd]])
 
-    # ε-scaling schedule (static phase count).
-    eps0 = (s + 2.0) / 4.0
+    # ε-scaling schedule (static phase count). ε0 covers the LEGAL
+    # benefit range ([-1, 0] after normalization) — forbidden-edge
+    # magnitudes don't drive price dynamics, so scaling from there
+    # would only add dead phases.
+    eps0 = 1.0
     eps_final = eps_final_rel / s
     n_phases = int(np.ceil(np.log(eps0 / eps_final) / np.log(theta))) + 1
     max_rounds = rounds_per_phase_factor * s
@@ -153,9 +163,17 @@ def solve_assignment(
         assign, owner, price = _auction_phase(benefit, price, eps, max_rounds)
         return price, assign
 
-    price0 = jnp.zeros((s,), jnp.float32)
-    _, assigns = jax.lax.scan(phase, price0, jnp.arange(n_phases))
-    assign = assigns[-1]
+    def solve(_):
+        price0 = jnp.zeros((s,), jnp.float32)
+        _, assigns = jax.lax.scan(phase, price0, jnp.arange(n_phases))
+        return assigns[-1]
+
+    # Empty problems (no valid rows or no valid cols) are common in the
+    # tracker's rescue/unconfirmed stages — skip the whole auction.
+    nonempty = jnp.logical_and(jnp.any(row_valid), jnp.any(col_valid))
+    assign = jax.lax.cond(
+        nonempty, solve, lambda _: jnp.full((s,), -1, jnp.int32), None
+    )
 
     row_assign = assign[:r]
     # Real matches only: column index < c, cost within limit, both valid.
