@@ -5,21 +5,28 @@ package's C++ Jonker-Volgenant solver
 (``lap.lapjv(cost, extend_cost=True, cost_limit=thresh)``, reached via
 /root/reference/yolo_multi_model.py:41 — SURVEY.md D12/N6). That is a
 host-side, dynamic-shape call; here the solve runs *on device inside
-the jitted tracking step* as an ε-scaling auction algorithm
-(Bertsekas), which is the assignment formulation that vectorizes: every
-auction round is a handful of (S,) / (S, S) elementwise+argmax ops on
-the VPU, with no data-dependent shapes.
+the jitted tracking step* as a Bertsekas auction, which is the
+assignment formulation that vectorizes: every Jacobi round is a
+handful of (R,)/(R, C+R) elementwise+argmax ops on the VPU with no
+data-dependent shapes.
 
-Semantics match ``lapjv`` with a cost limit: the (R, C) cost matrix is
-embedded in an (R+C, R+C) square benefit matrix where every real row
-and column also owns a "dummy" partner at benefit ``-thresh/2`` —
-matching row i to column j is chosen iff ``cost[i, j]`` beats leaving
-both unmatched (total ``thresh``). Rows/columns beyond the valid
-counts (fixed-shape padding) are forced onto their dummies.
+Formulation. ``lapjv`` with a cost limit t is equivalent to the
+max-weight matching with weights ``w[i, j] = t - cost[i, j]`` where
+any row/column may stay unmatched at weight 0 (each matched pair
+saves exactly ``t`` of unmatched penalty and pays ``cost``). So the
+auction runs over ``C + R`` objects: the real columns plus one
+DEDICATED sentinel object per row (benefit 0 = stay unmatched). Rows
+whose best option is worse than staying unmatched settle on their
+sentinel without competing with anyone — there is no dummy-vs-dummy
+block at all, which is what makes the worst case cheap: price wars
+only ever happen over genuinely contested real columns.
 
-ε-scaling runs a fixed number of phases with shrinking ε; the final
-assignment is within ``S·ε_final`` of optimal (default 1e-3 in
-normalized cost units — far below any meaningful tracking-cost gap).
+A single auction phase at a moderate ε (no ε-scaling: stale prices
+from coarse phases poison dedicated-object values) gives per-row
+ε-complementary-slackness: a decision can differ from the exact
+optimum only among alternatives within ε of each other (default
+3e-3 of the normalized cost range — far below meaningful tracking
+cost gaps; the scipy-verified tests confirm optimal totals).
 ``solve_assignment_host`` is the exact scipy oracle used by tests and
 offline tools.
 """
@@ -46,10 +53,50 @@ class AssignmentResult(NamedTuple):
     col_to_row: jnp.ndarray  # (C,) int32
 
 
-def _auction_phase(benefit: jnp.ndarray, price: jnp.ndarray, eps, max_rounds: int):
-    """One ε phase of Jacobi auction. Returns (assign, owner, price)."""
-    s = benefit.shape[0]
-    idx = jnp.arange(s, dtype=jnp.int32)
+def solve_assignment(
+    cost: jnp.ndarray,
+    thresh: float | jnp.ndarray,
+    row_valid: jnp.ndarray | None = None,
+    col_valid: jnp.ndarray | None = None,
+    *,
+    eps_rel: float = 3e-3,
+    max_rounds_factor: int = 16,
+) -> AssignmentResult:
+    """Min-cost assignment with a cost limit, fixed shape, jit-safe.
+
+    cost: (R, C). Entries of padded rows/cols are ignored.
+    thresh: matches with cost > thresh are left unmatched (lapjv
+      ``cost_limit`` semantics).
+    row_valid / col_valid: bool masks for fixed-shape padding.
+    eps_rel: auction slack as a fraction of the cost range.
+    """
+    r, c = cost.shape
+    n_obj = c + r
+    if row_valid is None:
+        row_valid = jnp.ones((r,), bool)
+    if col_valid is None:
+        col_valid = jnp.ones((c,), bool)
+
+    thresh = jnp.asarray(thresh, jnp.float32)
+    finite_cost = jnp.clip(cost.astype(jnp.float32), -1e6, 1e6)
+    valid_pair = jnp.logical_and(row_valid[:, None], col_valid[None, :])
+    cmin = jnp.minimum(jnp.min(jnp.where(valid_pair, finite_cost, thresh)), thresh)
+    cmax = jnp.maximum(jnp.max(jnp.where(valid_pair, finite_cost, thresh)), thresh)
+    crange = jnp.maximum(cmax - cmin, 1e-6)
+
+    # benefit of matching (i, j): (t - cost)/range; sentinel object
+    # per row at 0; everything else forbidden.
+    forbid = jnp.float32(-4.0)
+    w_real = jnp.where(valid_pair, (thresh - finite_cost) / crange, forbid)
+    sent = jnp.where(
+        jnp.eye(r, dtype=bool), 0.0, forbid
+    )  # (r, r) dedicated sentinels
+    benefit = jnp.concatenate([w_real, sent], axis=1)  # (r, n_obj)
+
+    idx_r = jnp.arange(r, dtype=jnp.int32)
+    idx_o = jnp.arange(n_obj, dtype=jnp.int32)
+    eps = jnp.float32(eps_rel)
+    max_rounds = max_rounds_factor * r
 
     def cond(state):
         assign, owner, price, rounds = state
@@ -59,14 +106,16 @@ def _auction_phase(benefit: jnp.ndarray, price: jnp.ndarray, eps, max_rounds: in
         values = benefit - price[None, :]
         best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
         best_v = jnp.max(values, axis=1)
-        masked = values.at[idx, best_j].set(_NEG)
+        masked = values.at[idx_r, best_j].set(_NEG)
         second_v = jnp.max(masked, axis=1)
         bid = price[best_j] + (best_v - second_v) + eps
 
         unassigned = assign < 0
         # Scatter-max of bids onto objects: one bid per bidding person.
         bid_mat = jnp.where(
-            jnp.logical_and(unassigned[:, None], best_j[:, None] == idx[None, :]),
+            jnp.logical_and(
+                unassigned[:, None], best_j[:, None] == idx_o[None, :]
+            ),
             bid[:, None],
             _NEG,
         )
@@ -77,9 +126,9 @@ def _auction_phase(benefit: jnp.ndarray, price: jnp.ndarray, eps, max_rounds: in
         new_owner = jnp.where(has_bid, winner, owner)
         new_price = jnp.where(has_bid, win_bid, price)
         # Rebuild person->object from the (injective) owner array.
-        owner_safe = jnp.where(new_owner >= 0, new_owner, s)
+        owner_safe = jnp.where(new_owner >= 0, new_owner, r)
         new_assign = (
-            jnp.full((s + 1,), -1, jnp.int32).at[owner_safe].set(idx)[:s]
+            jnp.full((r + 1,), -1, jnp.int32).at[owner_safe].set(idx_o)[:r]
         )
         return new_assign, new_owner, new_price
 
@@ -91,94 +140,26 @@ def _auction_phase(benefit: jnp.ndarray, price: jnp.ndarray, eps, max_rounds: in
         assign, owner, price = one_round(assign, owner, price)
         return assign, owner, price, rounds + 2
 
-    assign0 = jnp.full((s,), -1, jnp.int32)
-    owner0 = jnp.full((s,), -1, jnp.int32)
-    assign, owner, price, _ = jax.lax.while_loop(
-        cond, body, (assign0, owner0, price, jnp.int32(0))
-    )
-    return assign, owner, price
-
-
-def solve_assignment(
-    cost: jnp.ndarray,
-    thresh: float | jnp.ndarray,
-    row_valid: jnp.ndarray | None = None,
-    col_valid: jnp.ndarray | None = None,
-    *,
-    eps_final_rel: float = 5e-3,
-    theta: float = 12.0,
-    rounds_per_phase_factor: int = 16,
-) -> AssignmentResult:
-    """Min-cost assignment with a cost limit, fixed shape, jit-safe.
-
-    cost: (R, C). Entries of padded rows/cols are ignored.
-    thresh: matches with cost > thresh are left unmatched (lapjv
-      ``cost_limit`` semantics).
-    row_valid / col_valid: bool masks for fixed-shape padding.
-    """
-    r, c = cost.shape
-    s = r + c
-    if row_valid is None:
-        row_valid = jnp.ones((r,), bool)
-    if col_valid is None:
-        col_valid = jnp.ones((c,), bool)
-
-    # Normalize costs into [0, 1] so ε has consistent meaning.
-    thresh = jnp.asarray(thresh, jnp.float32)
-    finite_cost = jnp.clip(cost.astype(jnp.float32), -1e6, 1e6)
-    valid_pair = jnp.logical_and(row_valid[:, None], col_valid[None, :])
-    cmin = jnp.minimum(jnp.min(jnp.where(valid_pair, finite_cost, thresh)), thresh)
-    cmax = jnp.maximum(jnp.max(jnp.where(valid_pair, finite_cost, thresh)), thresh)
-    crange = jnp.maximum(cmax - cmin, 1e-6)
-    norm = lambda x: (x - cmin) / crange
-
-    forbid = jnp.float32(-(s + 2.0))  # worse than any full legal matching
-
-    # benefit blocks: [real x real | real x dummy]
-    #                 [dummy x real| dummy x dummy]
-    b_rr = jnp.where(valid_pair, -norm(finite_cost), forbid)
-    half_t = -norm(thresh) / 2.0
-    eye_rd = jnp.eye(r, dtype=bool)
-    b_rd_diag = jnp.where(row_valid, half_t, 0.0)  # invalid rows ride free
-    b_rd = jnp.where(eye_rd, b_rd_diag[:, None], forbid)[:, :r]
-    eye_dr = jnp.eye(c, dtype=bool)
-    b_dr_diag = jnp.where(col_valid, half_t, 0.0)
-    b_dr = jnp.where(eye_dr, b_dr_diag[:, None], forbid)[:, :c]
-    b_dd = jnp.zeros((c, r), jnp.float32)  # leftover dummies pair freely
-
-    benefit = jnp.block([[b_rr, b_rd], [b_dr, b_dd]])
-
-    # ε-scaling schedule (static phase count). ε0 covers the LEGAL
-    # benefit range ([-1, 0] after normalization) — forbidden-edge
-    # magnitudes don't drive price dynamics, so scaling from there
-    # would only add dead phases.
-    eps0 = 1.0
-    eps_final = eps_final_rel / s
-    n_phases = int(np.ceil(np.log(eps0 / eps_final) / np.log(theta))) + 1
-    max_rounds = rounds_per_phase_factor * s
-
-    def phase(carry, k):
-        price = carry
-        eps = jnp.maximum(eps0 / (theta**k.astype(jnp.float32)), eps_final)
-        assign, owner, price = _auction_phase(benefit, price, eps, max_rounds)
-        return price, assign
-
     def solve(_):
-        price0 = jnp.zeros((s,), jnp.float32)
-        _, assigns = jax.lax.scan(phase, price0, jnp.arange(n_phases))
-        return assigns[-1]
+        assign0 = jnp.full((r,), -1, jnp.int32)
+        owner0 = jnp.full((n_obj,), -1, jnp.int32)
+        price0 = jnp.zeros((n_obj,), jnp.float32)
+        assign, _, _, _ = jax.lax.while_loop(
+            cond, body, (assign0, owner0, price0, jnp.int32(0))
+        )
+        return assign
 
     # Empty problems (no valid rows or no valid cols) are common in the
-    # tracker's rescue/unconfirmed stages — skip the whole auction.
+    # tracker's rescue/unconfirmed stages — skip the auction entirely.
     nonempty = jnp.logical_and(jnp.any(row_valid), jnp.any(col_valid))
     assign = jax.lax.cond(
-        nonempty, solve, lambda _: jnp.full((s,), -1, jnp.int32), None
+        nonempty, solve, lambda _: jnp.full((r,), -1, jnp.int32), None
     )
 
-    row_assign = assign[:r]
-    # Real matches only: column index < c, cost within limit, both valid.
-    j = jnp.clip(row_assign, 0, c - 1)
-    is_real = jnp.logical_and(row_assign >= 0, row_assign < c)
+    # Real matches only: column index < c, benefit positive (cost
+    # within limit), both sides valid.
+    j = jnp.clip(assign, 0, c - 1)
+    is_real = jnp.logical_and(assign >= 0, assign < c)
     cost_ok = finite_cost[jnp.arange(r), j] <= thresh + 1e-6
     matched = is_real & cost_ok & row_valid & col_valid[j]
     row_to_col = jnp.where(matched, j, -1).astype(jnp.int32)
