@@ -119,15 +119,18 @@ def main() -> None:
     calibrate_candidates(pipe, pool[0], det_cfg.conf, TARGET_DETS)
     log("calibrated")
 
-    _, track_step, _ = pipe._get_step((h, w))
-    dev_pool = [jnp.asarray(f) for f in pool]
+    _, track_step, track_chunk, _ = pipe._get_step((h, w))
+    chunk = 10
+    dev_frames = jnp.asarray(np.stack(pool + pool[:2]))  # (10, H, W, 3)
     log("frames staged")
     warp = jnp.asarray(np.eye(2, 3, dtype=np.float32))
+    warps = jnp.tile(warp[None], (chunk, 1, 1))
     state = pipe.track_state
 
+    # warm up + report load via the single-step path
     for i in range(WARMUP):
         state, det, out, _ = track_step(
-            pipe.params, state, dev_pool[i % len(dev_pool)], warp
+            pipe.params, state, dev_frames[i % chunk], warp
         )
         if i == 0:
             jax.block_until_ready(out)
@@ -137,13 +140,16 @@ def main() -> None:
         f"warmup done; load: {int(det.count)} dets/frame, "
         f"{int(np.asarray(out.active).sum())} active tracks"
     )
+    state, dets_c, outs_c = track_chunk(pipe.params, state, dev_frames, warps)
+    jax.block_until_ready(outs_c)
+    log("chunk compiled")
 
     t0 = time.perf_counter()
-    for i in range(FRAMES):
-        state, det, out, _ = track_step(
-            pipe.params, state, dev_pool[i % len(dev_pool)], warp
+    for i in range(FRAMES // chunk):
+        state, dets_c, outs_c = track_chunk(
+            pipe.params, state, dev_frames, warps
         )
-    jax.block_until_ready((state, out))
+    jax.block_until_ready((state, outs_c))
     elapsed = time.perf_counter() - t0
     log(f"timed loop done: {elapsed:.1f}s")
     fps = FRAMES / elapsed

@@ -73,8 +73,8 @@ def resize_bilinear_matmul(
     antialias=False) / cv2.INTER_LINEAR sampling.
     """
     h, w = x.shape[-3], x.shape[-2]
-    ry = _interp_matrix(new_h, h)
-    rx = _interp_matrix(new_w, w)
+    ry = _interp_matrix(new_h, h).astype(x.dtype)
+    rx = _interp_matrix(new_w, w).astype(x.dtype)
     t = jnp.einsum("yh,...hwc->...ywc", ry, x, precision=precision)
     return jnp.einsum("xw,...ywc->...yxc", rx, t, precision=precision)
 
@@ -93,7 +93,9 @@ def letterbox(
     frame: (..., H, W, 3) uint8 (or float). Returns
     (..., size, size, 3) ``dtype`` in [0, 1], NHWC.
     """
-    x = frame.astype(jnp.float32)
+    # uint8 pixel values are exact in bfloat16 (8-bit mantissa), so the
+    # interpolation can run at the compute dtype directly
+    x = frame.astype(dtype if dtype == jnp.bfloat16 else jnp.float32)
     if bgr_to_rgb:
         x = x[..., ::-1]
 

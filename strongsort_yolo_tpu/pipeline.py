@@ -370,7 +370,46 @@ class Pipeline:
                 )
             return track_state, det, out, extras
 
-        return detect_step, track_step, lp
+        def _track_body(params, track_state, frame_u8, warp):
+            det, _ = detect(params, frame_u8)
+            tb, ts = det.boxes[:t_max], det.scores[:t_max]
+            tc, tv = det.classes[:t_max], det.valid[:t_max]
+            if is_strongsort:
+                feats = embed(frame_u8, det)[:t_max]
+                track_state, out = strongsort_step(
+                    track_state, tb, ts, tc, tv, feats, tracker_cfg,
+                    warp=warp,
+                )
+            else:
+                feats = (
+                    embed(frame_u8, det)[:t_max]
+                    if tracker_cfg.with_reid
+                    else None
+                )
+                track_state, out = bytetrack_step(
+                    track_state, tb, ts, tc, tv, tracker_cfg,
+                    det_feats=feats, warp=warp,
+                )
+            return track_state, det, out
+
+        @jax.jit
+        def track_chunk(params, track_state, frames_u8, warps):
+            """Offline/throughput mode: T frames in ONE dispatch via
+            lax.scan — identical sequential semantics to T track_step
+            calls, but host dispatch overhead is amortized T-fold.
+            frames_u8: (T, H, W, 3); warps: (T, 2, 3)."""
+
+            def step(st, inp):
+                frame, warp = inp
+                st, det, out = _track_body(params, st, frame, warp)
+                return st, (det, out)
+
+            track_state, (dets, outs) = jax.lax.scan(
+                step, track_state, (frames_u8, warps)
+            )
+            return track_state, dets, outs
+
+        return detect_step, track_step, track_chunk, lp
 
     def _get_step(self, src_hw):
         if src_hw not in self._steps:
@@ -389,7 +428,7 @@ class Pipeline:
         """Detect without tracking (reference ``model.predict``,
         yolo_multi_model.py:173)."""
         src_hw = frame_bgr.shape[:2]
-        detect_step, _, lp = self._get_step(src_hw)
+        detect_step, _, _, lp = self._get_step(src_hw)
         det, extras = detect_step(self.params, jnp.asarray(frame_bgr))
         det = jax.tree.map(np.asarray, det)
         extras = {k: np.asarray(v) for k, v in extras.items()}
@@ -407,7 +446,7 @@ class Pipeline:
         """Detect + track (reference ``model.track`` with persist=True,
         yolo_multi_model.py:41). Returns active tracks as rows."""
         src_hw = frame_bgr.shape[:2]
-        _, track_step, lp = self._get_step(src_hw)
+        _, track_step, _, lp = self._get_step(src_hw)
         warp = jnp.asarray(self.gmc.apply(frame_bgr))
         self.track_state, det, out, extras = track_step(
             self.params, self.track_state, jnp.asarray(frame_bgr), warp
@@ -430,6 +469,38 @@ class Pipeline:
 
     def __call__(self, frame_bgr: np.ndarray, track: bool = True) -> Results:
         return self.track(frame_bgr) if track else self.predict(frame_bgr)
+
+    def track_chunk(self, frames_bgr: np.ndarray) -> list[Results]:
+        """Offline/throughput mode: (T, H, W, 3) frames in one device
+        dispatch (lax.scan) — same sequential tracker semantics as T
+        ``track`` calls with T-fold lower dispatch overhead. GMC warps
+        are computed host-side per frame first."""
+        t = len(frames_bgr)
+        src_hw = frames_bgr[0].shape[:2]
+        _, _, chunk_fn, _ = self._get_step(src_hw)
+        warps = np.stack([self.gmc.apply(f) for f in frames_bgr])
+        self.track_state, dets, outs = chunk_fn(
+            self.params,
+            self.track_state,
+            jnp.asarray(np.asarray(frames_bgr)),
+            jnp.asarray(warps),
+        )
+        outs = jax.tree.map(np.asarray, outs)
+        results = []
+        for k in range(t):
+            rows = np.where(outs.active[k])[0]
+            results.append(
+                Results(
+                    Boxes(
+                        outs.boxes[k][rows],
+                        outs.score[k][rows],
+                        outs.cls[k][rows],
+                        id=outs.track_id[k][rows],
+                    ),
+                    self.names,
+                )
+            )
+        return results
 
     def _mk_kpts(self, extras, det_rows):
         if "keypoints" not in extras:

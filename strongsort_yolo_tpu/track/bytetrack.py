@@ -218,32 +218,22 @@ def bytetrack_step(
     m1 = a1.row_to_col >= 0  # (K,) slots matched in stage 1
     det_matched1 = a1.col_to_row >= 0  # (N,)
 
-    state = _masked_kf_update(
-        state, m1, a1.row_to_col, det_meas, det_scores, det_cls,
-        det_feats if use_reid else None, cfg,
-    )
+    # NOTE: the three stages match DISJOINT slot sets, and each stage's
+    # cost rows use the pre-update (predicted) means of its own slots —
+    # so all KF/field updates can be deferred and applied ONCE below
+    # (saves two full batched KF updates per frame).
 
     # --- stage 2: unmatched *tracked* tracks vs low dets (IoU only) ---
     r_tracked = jnp.logical_and(tracked_act, jnp.logical_not(m1))
-    slot_boxes2 = _to_xyxy(state.mean[:, :4], form)
-    c2 = costs.mask_cost(costs.iou_cost(slot_boxes2, det_boxes), r_tracked, low)
+    c2 = costs.mask_cost(costs.iou_cost(slot_boxes, det_boxes), r_tracked, low)
     a2 = solve_assignment(c2, cfg.second_match_thresh, r_tracked, low)
     m2 = a2.row_to_col >= 0
-    state = _masked_kf_update(
-        state, m2, a2.row_to_col, det_meas, det_scores, det_cls,
-        det_feats if use_reid else None, cfg,
-    )
-    # unmatched previously-tracked -> LOST
+    # unmatched previously-tracked -> LOST (after the deferred update)
     to_lost = jnp.logical_and(r_tracked, jnp.logical_not(m2))
-    state = state._replace(
-        status=jnp.where(to_lost, STATUS_LOST, state.status)
-    )
-    # pool slots that stayed LOST and unmatched simply remain LOST.
 
     # --- stage 3: unconfirmed tracks vs leftover high dets ---
     left_high = jnp.logical_and(high, jnp.logical_not(det_matched1))
-    slot_boxes3 = _to_xyxy(state.mean[:, :4], form)
-    d_iou3 = costs.iou_cost(slot_boxes3, det_boxes)
+    d_iou3 = d_iou
     if cfg.tracker_type == "botsort":
         emb3 = costs.embedding_distance(state.feat, det_feats) if use_reid else None
         c3 = costs.botsort_fused_cost(
@@ -257,9 +247,18 @@ def bytetrack_step(
     c3 = costs.mask_cost(c3, unconfirmed, left_high)
     a3 = solve_assignment(c3, cfg.unconfirmed_match_thresh, unconfirmed, left_high)
     m3 = a3.row_to_col >= 0
+
+    # --- deferred combined update for all three (disjoint) stages ---
+    matched = jnp.logical_or(m1, jnp.logical_or(m2, m3))
+    slot_det = jnp.where(
+        m1, a1.row_to_col, jnp.where(m2, a2.row_to_col, a3.row_to_col)
+    )
     state = _masked_kf_update(
-        state, m3, a3.row_to_col, det_meas, det_scores, det_cls,
+        state, matched, slot_det, det_meas, det_scores, det_cls,
         det_feats if use_reid else None, cfg,
+    )
+    state = state._replace(
+        status=jnp.where(to_lost, STATUS_LOST, state.status)
     )
     # unmatched unconfirmed -> removed
     drop_unconf = jnp.logical_and(unconfirmed, jnp.logical_not(m3))

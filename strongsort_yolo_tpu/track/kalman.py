@@ -101,14 +101,24 @@ def predict(
     if still_mask is not None:
         damp = jnp.where(still_mask[..., None], 0.0, 1.0)
         mean = mean.at[..., 6:8].multiply(damp)
-    f = _motion_matrix()
     std_pos = _pos_std(mean[..., :4], form, STD_POS)
     std_vel = _vel_std(mean[..., :4], form, STD_VEL)
     q_diag = jnp.concatenate([std_pos, std_vel], axis=-1) ** 2
-    new_mean = jnp.matmul(mean, f.T, precision=_HI)
-    new_cov = jnp.matmul(
-        jnp.matmul(f, cov, precision=_HI), f.T, precision=_HI
-    ) + q_diag[..., :, None] * jnp.eye(8)
+    # F = [[I, I], [0, I]] is structured — expand F P Fᵀ in closed form
+    # (pure adds on 4x4 blocks) instead of batched 8x8 matmuls, which
+    # XLA handles poorly at this size.
+    new_mean = jnp.concatenate(
+        [mean[..., :4] + mean[..., 4:], mean[..., 4:]], axis=-1
+    )
+    p11 = cov[..., :4, :4]
+    p12 = cov[..., :4, 4:]
+    p21 = cov[..., 4:, :4]
+    p22 = cov[..., 4:, 4:]
+    top = jnp.concatenate([p11 + p12 + p21 + p22, p12 + p22], axis=-1)
+    bot = jnp.concatenate([p21 + p22, p22], axis=-1)
+    new_cov = jnp.concatenate([top, bot], axis=-2) + q_diag[
+        ..., :, None
+    ] * jnp.eye(8)
     return new_mean, new_cov
 
 

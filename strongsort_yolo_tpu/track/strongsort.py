@@ -140,11 +140,10 @@ def strongsort_step(
     c1 = costs.mask_cost(blended, confirmed, usable)
     a1 = solve_assignment(c1, cfg.match_thresh, confirmed, usable)
     m1 = a1.row_to_col >= 0
-    state = _kf_update_slots(
-        state, m1, a1.row_to_col, det_meas, det_scores, det_cls, det_feats, cfg
-    )
 
-    # 3. IoU fallback: tentative + freshly-missed confirmed tracks
+    # 3. IoU fallback: tentative + freshly-missed confirmed tracks.
+    # Stage sets are disjoint and costs use predicted means, so the KF
+    # update for both stages is deferred and applied once.
     just_missed = jnp.logical_and(
         confirmed,
         jnp.logical_and(
@@ -158,11 +157,13 @@ def strongsort_step(
     c2 = costs.mask_cost(costs.iou_cost(slot_boxes, det_boxes), iou_rows, left)
     a2 = solve_assignment(c2, cfg.max_iou_distance, iou_rows, left)
     m2 = a2.row_to_col >= 0
-    state = _kf_update_slots(
-        state, m2, a2.row_to_col, det_meas, det_scores, det_cls, det_feats, cfg
-    )
 
     matched = jnp.logical_or(m1, m2)
+    slot_det = jnp.where(m1, a1.row_to_col, a2.row_to_col)
+    state = _kf_update_slots(
+        state, matched, slot_det, det_meas, det_scores, det_cls,
+        det_feats, cfg,
+    )
 
     # 4. deaths: unmatched tentative now; confirmed past max_age
     missed = jnp.logical_and(alive, jnp.logical_not(matched))
