@@ -349,8 +349,13 @@ def load_checkpoint(path: str):
     if path.endswith(".npz"):
         return load_npz_checkpoint(path)
     state, meta = load_torch_checkpoint(path)
-    cfg = infer_config(state, meta)
-    params = port_yolo(state, cfg)
+    v5_cfg = infer_v5_config(state)
+    if v5_cfg is not None:
+        cfg = v5_cfg
+        params = port_yolov5(state, cfg)
+    else:
+        cfg = infer_config(state, meta)
+        params = port_yolo(state, cfg)
     names = meta.get("names")
     if isinstance(names, dict):
         names = {int(k): str(v) for k, v in names.items()}
@@ -416,3 +421,79 @@ def _listify(node):
             return [conv[str(i)] for i in range(len(conv))]
         return conv
     return node
+
+
+# ---------------------------------------------------------------------------
+# YOLOv5 (classic + ultralytics 'u') porting
+# ---------------------------------------------------------------------------
+
+# sequential indices of the v5 v6.0 layout (same for classic & 'u';
+# only the Detect head at 24 differs)
+_V5_LAYOUT = {
+    "stem": 0, "down1": 1, "stage1": 2, "down2": 3, "stage2": 4,
+    "down3": 5, "stage3": 6, "down4": 7, "stage4": 8, "sppf": 9,
+    "lat5": 10, "td1": 13, "lat4": 14, "td2": 17,
+    "bu1_conv": 18, "bu1": 20, "bu2_conv": 21, "bu2": 23, "head": 24,
+}
+
+
+def port_yolov5(state_dict: dict, cfg) -> Params:
+    """Map a yolov5/v5u state_dict onto models/yolov5.py's tree.
+
+    cfg: models.yolov5.Yolov5Config. Classic checkpoints carry plain
+    ``model.24.m.{i}`` anchor convs; 'u' checkpoints carry the v8
+    cv2/cv3 towers.
+    """
+    sd = state_dict
+    L = {k: f"model.{v}" for k, v in _V5_LAYOUT.items()}
+    p: Params = {
+        "stem": _conv(sd, L["stem"]),
+        "down1": _conv(sd, L["down1"]),
+        "stage1": _c3(sd, L["stage1"]),
+        "down2": _conv(sd, L["down2"]),
+        "stage2": _c3(sd, L["stage2"]),
+        "down3": _conv(sd, L["down3"]),
+        "stage3": _c3(sd, L["stage3"]),
+        "down4": _conv(sd, L["down4"]),
+        "stage4": _c3(sd, L["stage4"]),
+        "sppf": _sppf(sd, L["sppf"]),
+        "lat5": _conv(sd, L["lat5"]),
+        "td1": _c3(sd, L["td1"]),
+        "lat4": _conv(sd, L["lat4"]),
+        "td2": _c3(sd, L["td2"]),
+        "bu1_conv": _conv(sd, L["bu1_conv"]),
+        "bu1": _c3(sd, L["bu1"]),
+        "bu2_conv": _conv(sd, L["bu2_conv"]),
+        "bu2": _c3(sd, L["bu2"]),
+    }
+    h = L["head"]
+    if cfg.anchor_free:
+        p["detect"] = {
+            "box": [_branch(sd, f"{h}.cv2.{i}") for i in range(3)],
+            "cls": [_branch(sd, f"{h}.cv3.{i}") for i in range(3)],
+        }
+    else:
+        p["detect"] = {"m": [_conv2d(sd, f"{h}.m.{i}") for i in range(3)]}
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p)
+
+
+def infer_v5_config(state_dict: dict):
+    """Detect a yolov5/v5u checkpoint and build its config, or None."""
+    from strongsort_yolo_tpu.models.yolov5 import Yolov5Config
+
+    classic = "model.24.m.0.weight" in state_dict
+    u_head = "model.24.cv2.0.0.conv.weight" in state_dict
+    if not (classic or u_head):
+        return None
+    stem_out = state_dict["model.0.conv.weight"].shape[0]
+    scale = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}.get(stem_out, "n")
+    nc = 80
+    if classic:
+        no = state_dict["model.24.m.0.weight"].shape[0]
+        nc = no // 3 - 5
+    else:
+        nc = state_dict["model.24.cv3.0.2.weight"].shape[0]
+    return Yolov5Config(scale=scale, nc=nc, anchor_free=u_head)

@@ -164,3 +164,51 @@ def test_npz_checkpoint_roundtrip(tmp_path):
     assert names == {0: "person"}
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_yolov5_port_roundtrip(rng):
+    """v5 (classic + u) porting map: export -> port -> identical fwd."""
+    from strongsort_yolo_tpu.models import porting
+    from strongsort_yolo_tpu.models.yolov5 import (
+        Yolov5Config, init_yolov5, yolov5_apply,
+    )
+
+    for anchor_free in (False, True):
+        cfg = Yolov5Config(scale="n", anchor_free=anchor_free)
+        params = init_yolov5(jax.random.PRNGKey(5), cfg)
+        lay = porting._V5_LAYOUT
+        sd = {}
+        for name in ("stem", "down1", "down2", "down3", "down4",
+                     "lat5", "lat4", "bu1_conv", "bu2_conv"):
+            _export_conv(sd, f"model.{lay[name]}", params[name])
+        for name in ("stage1", "stage2", "stage3", "stage4", "td1",
+                     "td2", "bu1", "bu2"):
+            p = params[name]
+            _export_conv(sd, f"model.{lay[name]}.cv1", p["cv1"])
+            _export_conv(sd, f"model.{lay[name]}.cv2", p["cv2"])
+            _export_conv(sd, f"model.{lay[name]}.cv3", p["cv3"])
+            for i, m in enumerate(p["m"]):
+                _export_bottleneck(sd, f"model.{lay[name]}.m.{i}", m)
+        _export_conv(sd, f"model.{lay['sppf']}.cv1", params["sppf"]["cv1"])
+        _export_conv(sd, f"model.{lay['sppf']}.cv2", params["sppf"]["cv2"])
+        h = f"model.{lay['head']}"
+        if anchor_free:
+            for i in range(3):
+                _export_branch(sd, f"{h}.cv2.{i}", params["detect"]["box"][i])
+                _export_branch(sd, f"{h}.cv3.{i}", params["detect"]["cls"][i])
+        else:
+            for i in range(3):
+                _export_conv2d(sd, f"{h}.m.{i}", params["detect"]["m"][i])
+        got_cfg = porting.infer_v5_config(sd)
+        assert got_cfg is not None
+        assert got_cfg.anchor_free == anchor_free and got_cfg.scale == "n"
+        ported = porting.port_yolov5(sd, cfg)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)), jnp.float32
+        )
+        out_a = yolov5_apply(params, x, cfg)
+        out_b = yolov5_apply(ported, x, cfg)
+        for k in out_a:
+            np.testing.assert_array_equal(
+                np.asarray(out_a[k]), np.asarray(out_b[k])
+            )
