@@ -24,8 +24,6 @@ import dataclasses
 import os
 import time
 
-import numpy as np
-
 from strongsort_yolo_tpu.config import DetectorConfig
 from strongsort_yolo_tpu.media.annotator import make_annotator
 from strongsort_yolo_tpu.media.video import SyntheticSource, VideoReader, VideoWriter

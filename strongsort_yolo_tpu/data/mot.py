@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import configparser
 import os
-from collections import defaultdict
 
 import numpy as np
 

@@ -22,8 +22,6 @@ torch-free NumPy re-execution oracle of the same weights.
 
 from __future__ import annotations
 
-import io
-import pickle
 import sys
 import types
 from typing import Any

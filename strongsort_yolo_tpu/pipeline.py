@@ -20,7 +20,6 @@ result surface the reference consumes (SURVEY.md D7:
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -36,7 +35,7 @@ from strongsort_yolo_tpu.models.yolo import (
     init_model,
     model_apply,
 )
-from strongsort_yolo_tpu.ops.decode import decode_boxes, make_anchors
+from strongsort_yolo_tpu.ops.decode import make_anchors
 from strongsort_yolo_tpu.ops.keypoints import decode_keypoints, scale_keypoints
 from strongsort_yolo_tpu.ops.letterbox import letterbox, letterbox_params
 from strongsort_yolo_tpu.ops.masks import masks_to_polygons, process_masks

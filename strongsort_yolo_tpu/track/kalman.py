@@ -22,8 +22,6 @@ std_weight_position = 1/20, std_weight_velocity = 1/160.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

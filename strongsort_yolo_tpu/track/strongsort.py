@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 
 from strongsort_yolo_tpu.ops.assignment import solve_assignment
