@@ -168,6 +168,10 @@ class Pipeline:
             from strongsort_yolo_tpu.models.yolov5 import build_v5
 
             self.model_cfg = build_v5(det_cfg.weights)
+        elif not os.path.exists(det_cfg.weights) and det_cfg.weights.lower().startswith("yolov7"):
+            from strongsort_yolo_tpu.models.yolov7 import Yolov7Config
+
+            self.model_cfg = Yolov7Config()
         else:
             self.model_cfg = (
                 None if os.path.exists(det_cfg.weights) else build_model(det_cfg.weights)
@@ -183,10 +187,19 @@ class Pipeline:
                 from strongsort_yolo_tpu.models.yolov5 import init_yolov5
 
                 params = init_yolov5(jax.random.PRNGKey(seed), self.model_cfg)
+            elif self._is_v7:
+                from strongsort_yolo_tpu.models.yolov7 import init_yolov7
+
+                params = init_yolov7(jax.random.PRNGKey(seed), self.model_cfg)
             else:
                 params = init_model(jax.random.PRNGKey(seed), self.model_cfg)
         if det_cfg.fuse:
-            params = fuse_model(params)
+            if self._is_v7:
+                from strongsort_yolo_tpu.models.yolov7 import fuse_yolov7
+
+                params = fuse_yolov7(params)  # RepConv reparam + BN fold
+            else:
+                params = fuse_model(params)
         self.params = params
         self.names = names or dict(COCO_NAMES)
         self.tracker_cfg = (
@@ -232,6 +245,12 @@ class Pipeline:
 
         return isinstance(self.model_cfg, Yolov5Config)
 
+    @property
+    def _is_v7(self):
+        from strongsort_yolo_tpu.models.yolov7 import Yolov7Config
+
+        return isinstance(self.model_cfg, Yolov7Config)
+
     # -- jitted step construction --------------------------------------
 
     def _class_filter(self):
@@ -254,20 +273,18 @@ class Pipeline:
         tracker_cfg = self.tracker_cfg
         compute_dtype = self.compute_dtype
 
-        is_v5 = self._is_v5
+        if self._is_v5:
+            from strongsort_yolo_tpu.models.yolov5 import yolov5_apply as model_fn
+        elif self._is_v7:
+            from strongsort_yolo_tpu.models.yolov7 import yolov7_apply as model_fn
+        else:
+            model_fn = model_apply
 
         def detect(params, frame_u8):
             img = letterbox(frame_u8, lp, dtype=compute_dtype)
-            if is_v5:
-                from strongsort_yolo_tpu.models.yolov5 import yolov5_apply
-
-                out = yolov5_apply(
-                    params, img[None], cfg, compute_dtype=compute_dtype
-                )
-            else:
-                out = model_apply(
-                    params, img[None], cfg, compute_dtype=compute_dtype
-                )
+            out = model_fn(
+                params, img[None], cfg, compute_dtype=compute_dtype
+            )
             if "boxes" in out:  # anchor-based v5/v7: already decoded
                 det = non_max_suppression(
                     out["boxes"][0],

@@ -46,7 +46,7 @@ def test_pose_pipeline_surfaces(frame):
 
 
 def test_v5_and_v11_pipelines(frame):
-    for w in ("yolov5n", "yolo11n"):
+    for w in ("yolov5n", "yolo11n", "yolov7"):
         p = mkpipe(w)
         r = p.track(frame)
         assert r.boxes is not None
