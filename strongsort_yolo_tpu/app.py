@@ -11,9 +11,17 @@ L4/L5):
 - count overlay, FPS overlay, trajectory trails, optional live window
   with 'q' quit (:330-334);
 - multi-source: the reference forks one OS process per source
-  (:353-354), re-loading the model per process; here all streams share
-  ONE set of model weights — round-robin on one device by default, or
-  the batched device path in parallel/streams.py;
+  (:353-354), re-loading the model per process, and runs sources
+  CONCURRENTLY via the Pool. Here the same concurrency comes from
+  batching same-resolution streams into the leading axis of ONE
+  jitted device program (pipeline.BatchedPipeline) — one weight set,
+  one compile, one dispatch per tick — with per-stream reader threads
+  feeding the lockstep loop. Mixed-resolution sources fall into
+  per-resolution groups processed one group at a time;
+- the host/device overlap: each loop tick dispatches frame t's device
+  step asynchronously, then decodes + GMC-warps frame t+1 and draws/
+  encodes frame t-1's results while the device computes (SURVEY.md §7
+  hard part #6);
 - fixes the same-basename label-file race (SURVEY.md §5.2) by
   suffixing duplicate stream names.
 """
@@ -22,7 +30,11 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import queue as queue_mod
+import threading
 import time
+
+import numpy as np
 
 from strongsort_yolo_tpu.config import DetectorConfig
 from strongsort_yolo_tpu.media.annotator import make_annotator
@@ -31,6 +43,7 @@ from strongsort_yolo_tpu.pipeline import Pipeline
 from strongsort_yolo_tpu.utils.counting import StreamingCounter
 from strongsort_yolo_tpu.utils.fps import FpsMeter
 from strongsort_yolo_tpu.utils.labels import LabelWriter
+from strongsort_yolo_tpu.utils.profiling import StageTimers
 from strongsort_yolo_tpu.utils.trajectories import TrajectoryMemory
 
 
@@ -54,6 +67,9 @@ class AppConfig:
     half: bool = True
     max_frames: int | None = None  # test/bench hook
     seed: int = 0
+    multi_mode: str = "batched"  # "batched": lockstep device batch for
+    # same-resolution sources (reference-parity concurrency);
+    # "sequential": one source after another
 
 
 @dataclasses.dataclass
@@ -90,105 +106,255 @@ def open_source(source):
     return reader, reader.width, reader.height
 
 
+class _StreamCtx:
+    """One stream's host-side state: annotator, analytics, writers,
+    stats — shared by the sequential and batched loops."""
+
+    def __init__(self, cfg: AppConfig, source, name: str, names, width, height):
+        self.cfg = cfg
+        self.source = source
+        self.name = name
+        self.stats = StreamStats(source=str(source))
+        self.annotator = make_annotator(names, seed=cfg.seed)
+        self.trails = TrajectoryMemory()
+        self.counter = StreamingCounter(names)
+        self.fps = FpsMeter()
+        self.timers = StageTimers()
+        self.writer = None
+        self.label_writer = None
+        self.stop = False  # set by 'q' in show mode
+        if cfg.save:
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            out_path = os.path.join(cfg.output_dir, f"{name}_output.mp4")
+            self.writer = VideoWriter(out_path, width, height, cfg.out_fps)
+            self.stats.output_video = out_path
+            labels_path = os.path.join(cfg.output_dir, f"{name}_labels.txt")
+            self.label_writer = LabelWriter(labels_path, compat=cfg.compat_labels)
+            self.stats.labels_file = labels_path
+        self._t0 = time.time()
+
+    def postprocess(self, frame: np.ndarray, results, frame_id: int):
+        """Analytics + draw + encode for one frame (host work)."""
+        cfg = self.cfg
+        with self.timers.stage("analytics"):
+            if cfg.track:
+                self.trails.update(results.boxes)
+                if self.label_writer:
+                    self.label_writer.write_frame(frame_id, results.boxes)
+                if cfg.count:
+                    self.counter.update(results.boxes)
+
+        with self.timers.stage("draw"):
+            frame = self.annotator.draw_results(frame, results)
+            if cfg.track:
+                self.annotator.draw_trails(frame, self.trails)
+            if cfg.track and cfg.count:
+                frame = self.annotator.draw_counts(frame, self.counter.counts())
+            self.annotator.draw_fps(frame, self.fps.tick())
+
+        with self.timers.stage("encode"):
+            if self.writer:
+                self.writer.write(frame)
+        if cfg.show:
+            import cv2
+
+            cv2.imshow(f"yolo_{self.source}", frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                self.stop = True
+
+    def finish(self, frames: int):
+        elapsed = max(time.time() - self._t0, 1e-9)
+        self.stats.frames = frames
+        self.stats.mean_fps = frames / elapsed
+        self.stats.counts = self.counter.counts() if self.cfg.count else None
+        self.stats.stage_times = self.timers.summary()
+        if self.writer:
+            self.writer.release()
+        if self.label_writer:
+            self.label_writer.close()
+        if self.cfg.show:
+            import cv2
+
+            cv2.destroyAllWindows()
+        return self.stats
+
+
 def process_video(
     cfg: AppConfig,
     source,
     name: str,
     pipeline: Pipeline,
 ) -> StreamStats:
-    """One stream's loop: read → step → overlay → write."""
-    stats = StreamStats(source=str(source))
+    """One stream's loop: read → step → overlay → write, with one-tick
+    host/device overlap in track mode (frame t's GMC + frame t-1's
+    drawing run while the device computes frame t-1's step)."""
     if cfg.count and not cfg.track:
         # reference behavior at yolo_multi_model.py:280-282
         print("[INFO] count works only when objects are tracking.. so use: --track --count")
-        return stats
+        return StreamStats(source=str(source))
 
     reader, width, height = open_source(source)
     if reader is None:
-        return stats
+        return StreamStats(source=str(source))
 
     pipeline.reset()
-    annotator = make_annotator(pipeline.names, seed=cfg.seed)
-    trails = TrajectoryMemory()
-    counter = StreamingCounter(pipeline.names)
-    fps = FpsMeter()
-    writer = None
-    label_writer = None
-    if cfg.save:
-        os.makedirs(cfg.output_dir, exist_ok=True)
-        out_path = os.path.join(cfg.output_dir, f"{name}_output.mp4")
-        writer = VideoWriter(out_path, width, height, cfg.out_fps)
-        stats.output_video = out_path
-        labels_path = os.path.join(cfg.output_dir, f"{name}_labels.txt")
-        label_writer = LabelWriter(labels_path, compat=cfg.compat_labels)
-        stats.labels_file = labels_path
-
-    from strongsort_yolo_tpu.utils.profiling import StageTimers
-
-    timers = StageTimers()
-    t0 = time.time()
+    ctx = _StreamCtx(cfg, source, name, pipeline.names, width, height)
     frame_id = 0
+    pending = None  # (frame, frame_id, async handle)
     try:
         for frame in reader:
             frame_id += 1
             if cfg.max_frames and frame_id > cfg.max_frames:
+                frame_id -= 1
                 break
             try:
-                with timers.stage("infer_track"):
-                    results = pipeline(frame, track=cfg.track)
+                if cfg.track:
+                    with ctx.timers.stage("dispatch"):
+                        handle = pipeline.track_async(frame)
+                else:
+                    handle = None
             except Exception as e:  # corrupt frame: skip, keep stream
-                stats.errors += 1
+                ctx.stats.errors += 1
                 print(f"[WARN] {source} frame {frame_id} skipped: {e}")
                 continue
 
-            with timers.stage("analytics"):
-                if cfg.track:
-                    trails.update(results.boxes)
-                    if label_writer:
-                        label_writer.write_frame(frame_id, results.boxes)
-                    if cfg.count:
-                        counter.update(results.boxes)
+            if pending is not None:
+                pframe, pid, phandle = pending
+                pending = None
+                try:
+                    with ctx.timers.stage("infer_track"):
+                        results = pipeline.materialize(phandle)
+                except Exception as e:
+                    ctx.stats.errors += 1
+                    print(f"[WARN] {source} frame {pid} skipped: {e}")
+                else:
+                    ctx.postprocess(pframe, results, pid)
 
-            with timers.stage("draw"):
-                frame = annotator.draw_results(frame, results)
-                if cfg.track:
-                    annotator.draw_trails(frame, trails)
-                if cfg.track and cfg.count:
-                    frame = annotator.draw_counts(frame, counter.counts())
-                annotator.draw_fps(frame, fps.tick())
-
-            with timers.stage("encode"):
-                if writer:
-                    writer.write(frame)
-            if cfg.show:
-                import cv2
-
-                cv2.imshow(f"yolo_{source}", frame)
-                if cv2.waitKey(1) & 0xFF == ord("q"):
-                    break
+            if cfg.track:
+                pending = (frame, frame_id, handle)
+            else:
+                with ctx.timers.stage("infer_track"):
+                    results = pipeline(frame, track=False)
+                ctx.postprocess(frame, results, frame_id)
+            if ctx.stop:
+                break
+        # flush the last in-flight frame
+        if pending is not None:
+            pframe, pid, phandle = pending
+            try:
+                with ctx.timers.stage("infer_track"):
+                    results = pipeline.materialize(phandle)
+            except Exception as e:
+                ctx.stats.errors += 1
+                print(f"[WARN] {source} frame {pid} skipped: {e}")
+            else:
+                ctx.postprocess(pframe, results, pid)
     finally:
         if hasattr(reader, "release"):
             reader.release()
-        if writer:
-            writer.release()
-        if label_writer:
-            label_writer.close()
-        if cfg.show:
-            import cv2
-
-            cv2.destroyAllWindows()
-
-    elapsed = max(time.time() - t0, 1e-9)
-    stats.frames = frame_id
-    stats.mean_fps = frame_id / elapsed
-    stats.counts = counter.counts() if cfg.count else None
-    stats.stage_times = timers.summary()
+        stats = ctx.finish(frame_id)
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Batched concurrent multi-source (reference Pool parity, one device program)
+# ---------------------------------------------------------------------------
+
+
+def _reader_thread(reader, q, max_frames):
+    n = 0
+    try:
+        for frame in reader:
+            n += 1
+            if max_frames and n > max_frames:
+                break
+            q.put(frame)
+    finally:
+        q.put(None)  # EOF sentinel
+        if hasattr(reader, "release"):
+            reader.release()
+
+
+def _run_group_batched(cfg: AppConfig, pipeline: Pipeline, group) -> list[StreamStats]:
+    """Lockstep loop over same-resolution streams: one BatchedPipeline
+    tick per frame index, per-stream reader threads, per-stream host
+    postprocessing with error isolation (SURVEY.md §5.3)."""
+    S = len(group)
+    _, _, _, width, height = group[0]
+    bp = pipeline.track_batch_prepare(S, (height, width))
+    ctxs = [
+        _StreamCtx(cfg, source, name, pipeline.names, width, height)
+        for source, name, _, width, height in group
+    ]
+    queues = [queue_mod.Queue(maxsize=4) for _ in range(S)]
+    threads = [
+        threading.Thread(
+            target=_reader_thread, args=(reader, q, cfg.max_frames), daemon=True
+        )
+        for (_, _, reader, _, _), q in zip(group, queues)
+    ]
+    for t in threads:
+        t.start()
+
+    live = np.ones(S, bool)
+    frame_ids = np.zeros(S, np.int64)
+    last = [np.zeros((height, width, 3), np.uint8) for _ in range(S)]
+    pending = None  # (frames list, mask, ids, async handle)
+
+    def flush(p):
+        frames, mask, ids, handle = p
+        results = bp.materialize(handle)
+        for s in range(S):
+            if not mask[s]:
+                continue
+            try:
+                ctxs[s].postprocess(frames[s], results[s], int(ids[s]))
+            except Exception as e:
+                ctxs[s].stats.errors += 1
+                print(f"[WARN] {ctxs[s].source} frame {ids[s]} skipped: {e}")
+            if ctxs[s].stop:
+                live[s] = False
+
+    while live.any():
+        frames = []
+        mask = live.copy()
+        for s in range(S):
+            if live[s]:
+                f = queues[s].get()
+                if f is None:
+                    live[s] = False
+                    mask[s] = False
+                    f = last[s]
+                else:
+                    last[s] = f
+                    frame_ids[s] += 1
+            else:
+                f = last[s]
+            frames.append(f)
+        if mask.any():
+            # dispatch tick t, then materialize + draw tick t-1 while
+            # the device computes (JAX async dispatch)
+            handle = bp.step_async(np.stack(frames))
+            if pending is not None:
+                flush(pending)
+            pending = (frames, mask, frame_ids.copy(), handle)
+    if pending is not None:
+        flush(pending)
+
+    for t in threads:
+        t.join(timeout=5.0)
+    return [ctx.finish(int(n)) for ctx, n in zip(ctxs, frame_ids)]
 
 
 def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
     """Multi-source entry. One weight set shared by all streams
     (unlike the reference's per-process model copies, SURVEY.md §3.1).
+
+    With ``multi_mode="batched"`` (default), same-resolution sources
+    run CONCURRENTLY in one batched device program — the TPU-native
+    equivalent of the reference's ``Pool(processes=len(sources))``
+    (yolo_multi_model.py:353-354). Mixed resolutions form groups; each
+    group runs batched, groups run one after another.
     """
     sources = sources if sources is not None else list(cfg.sources)
     det_cfg = DetectorConfig(
@@ -202,19 +368,52 @@ def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
     )
     base = Pipeline(det_cfg, tracker=cfg.tracker, seed=cfg.seed)
     used: set[str] = set()
-    stats = []
-    for source in sources:
-        name = _stream_name(
-            source if isinstance(source, str) else "synthetic", used
-        )
-        # per-stream pipeline shares params/jit cache via the same
-        # object; state reset happens inside process_video. One
-        # stream's failure must not kill the others (the reference got
-        # this from Pool process isolation, yolo_multi_model.py:353 —
-        # SURVEY.md §5.3).
+    named = [
+        (src, _stream_name(src if isinstance(src, str) else "synthetic", used))
+        for src in sources
+    ]
+
+    use_batched = (
+        cfg.multi_mode == "batched"
+        and cfg.track
+        and len(sources) > 1
+        and not (cfg.count and not cfg.track)
+    )
+    if not use_batched:
+        stats = []
+        for source, name in named:
+            # One stream's failure must not kill the others (the
+            # reference got this from Pool process isolation,
+            # yolo_multi_model.py:353 — SURVEY.md §5.3).
+            try:
+                stats.append(process_video(cfg, source, name, base))
+            except Exception as e:
+                print(f"[ERROR] stream {source} failed: {e}")
+                stats.append(StreamStats(source=str(source), failed=str(e)))
+        return stats
+
+    # open everything, group by resolution (one compiled program per
+    # (S, H, W) signature)
+    stats_by_idx: dict[int, StreamStats] = {}
+    groups: dict[tuple[int, int], list] = {}
+    order: dict[tuple[int, int], list[int]] = {}
+    for i, (source, name) in enumerate(named):
+        reader, w, h = open_source(source)
+        if reader is None:
+            stats_by_idx[i] = StreamStats(source=str(source))
+            continue
+        groups.setdefault((w, h), []).append((source, name, reader, w, h))
+        order.setdefault((w, h), []).append(i)
+
+    for key, group in groups.items():
         try:
-            stats.append(process_video(cfg, source, name, base))
+            gstats = _run_group_batched(cfg, base, group)
         except Exception as e:
-            print(f"[ERROR] stream {source} failed: {e}")
-            stats.append(StreamStats(source=str(source), failed=str(e)))
-    return stats
+            print(f"[ERROR] stream group {key} failed: {e}")
+            gstats = [
+                StreamStats(source=str(src), failed=str(e))
+                for src, *_ in group
+            ]
+        for i, st in zip(order[key], gstats):
+            stats_by_idx[i] = st
+    return [stats_by_idx[i] for i in range(len(named))]

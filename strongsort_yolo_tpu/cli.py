@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--no-half", action="store_true", help="float32 compute")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument(
+        "--multi-mode", choices=("batched", "sequential"), default="batched",
+        help="multi-source execution: 'batched' runs same-resolution "
+        "sources concurrently in one device program (parity with the "
+        "reference's process-per-source Pool); 'sequential' runs one "
+        "source at a time",
+    )
     return parser
 
 
@@ -72,6 +79,7 @@ def main(argv=None) -> int:
         compat_labels=args.compat_labels,
         half=not args.no_half,
         max_frames=args.max_frames,
+        multi_mode=args.multi_mode,
     )
     for s in run(cfg):
         line = f"[{s.source}] frames={s.frames} fps={s.mean_fps:.2f}"

@@ -138,6 +138,19 @@ class Results:
 # ---------------------------------------------------------------------------
 
 
+class _StepSet:
+    """Compiled step functions for one source resolution."""
+
+    __slots__ = ("detect_step", "track_step", "track_chunk", "batch_step", "lp")
+
+    def __init__(self, detect_step, track_step, track_chunk, batch_step, lp):
+        self.detect_step = detect_step
+        self.track_step = track_step
+        self.track_chunk = track_chunk
+        self.batch_step = batch_step
+        self.lp = lp
+
+
 class Pipeline:
     """Per-stream detect/track pipeline with a jit cache per source
     resolution (static shapes — SURVEY.md §7 hard part #1)."""
@@ -280,7 +293,13 @@ class Pipeline:
         else:
             model_fn = model_apply
 
-        def detect(params, frame_u8):
+        def detect(params, frame_u8, extras_k: int | None = None):
+            """extras_k caps how many detection rows get masks/keypoints
+            computed: in track mode only the top ``tracker_max_dets``
+            rows can ever be referenced by a track (NMS output is
+            confidence-sorted), so extras for rows beyond that are
+            wasted HBM — (max_det, 160, 160) mask tensors dominate the
+            step's memory otherwise."""
             img = letterbox(frame_u8, lp, dtype=compute_dtype)
             out = model_fn(
                 params, img[None], cfg, compute_dtype=compute_dtype
@@ -311,20 +330,23 @@ class Pipeline:
                 )
             boxes_orig = scale_boxes(det.boxes, gain, pad, orig_hw)
             det = det._replace(boxes=jnp.where(det.valid[:, None], boxes_orig, 0.0))
+            ek = det_cfg.max_det if extras_k is None else extras_k
+            idx = det.index[:ek]
+            valid = det.valid[:ek]
             extras = {}
             if cfg.task == "pose":
-                kpt_rows = out["kpt_raw"][0][det.index]
+                kpt_rows = out["kpt_raw"][0][idx]
                 kpts = decode_keypoints(
-                    kpt_rows, anchors[det.index], strides[det.index], cfg.kpt[0]
+                    kpt_rows, anchors[idx], strides[idx], cfg.kpt[0]
                 )
                 extras["keypoints"] = scale_keypoints(kpts, gain, pad, orig_hw)
             elif cfg.task == "segment":
-                coef_rows = out["mask_coef"][0][det.index]
+                coef_rows = out["mask_coef"][0][idx]
                 extras["masks"] = process_masks(
                     coef_rows, out["proto"][0],
                     # crop in model-input coords
-                    jnp.where(det.valid[:, None],
-                              det.boxes * gain + jnp.concatenate([pad, pad]),
+                    jnp.where(valid[:, None],
+                              det.boxes[:ek] * gain + jnp.concatenate([pad, pad]),
                               0.0),
                     (size, size),
                 )
@@ -361,9 +383,12 @@ class Pipeline:
                 )
             return feats
 
-        @jax.jit
-        def track_step(params, track_state, frame_u8, warp):
-            det, extras = detect(params, frame_u8)
+        def _track_body(params, track_state, frame_u8, warp):
+            """One frame's full track step: detect → (embed) →
+            associate. Extras (masks/keypoints) are computed for the
+            top ``tracker_max_dets`` rows — the only rows a track's
+            ``det_index`` can reference."""
+            det, extras = detect(params, frame_u8, extras_k=t_max)
             # association sees the top tracker_max_dets rows (exact:
             # NMS output is confidence-sorted)
             tb, ts = det.boxes[:t_max], det.scores[:t_max]
@@ -386,27 +411,7 @@ class Pipeline:
                 )
             return track_state, det, out, extras
 
-        def _track_body(params, track_state, frame_u8, warp):
-            det, _ = detect(params, frame_u8)
-            tb, ts = det.boxes[:t_max], det.scores[:t_max]
-            tc, tv = det.classes[:t_max], det.valid[:t_max]
-            if is_strongsort:
-                feats = embed(frame_u8, det)[:t_max]
-                track_state, out = strongsort_step(
-                    track_state, tb, ts, tc, tv, feats, tracker_cfg,
-                    warp=warp,
-                )
-            else:
-                feats = (
-                    embed(frame_u8, det)[:t_max]
-                    if tracker_cfg.with_reid
-                    else None
-                )
-                track_state, out = bytetrack_step(
-                    track_state, tb, ts, tc, tv, tracker_cfg,
-                    det_feats=feats, warp=warp,
-                )
-            return track_state, det, out
+        track_step = jax.jit(_track_body)
 
         @jax.jit
         def track_chunk(params, track_state, frames_u8, warps):
@@ -417,15 +422,21 @@ class Pipeline:
 
             def step(st, inp):
                 frame, warp = inp
-                st, det, out = _track_body(params, st, frame, warp)
-                return st, (det, out)
+                st, det, out, extras = _track_body(params, st, frame, warp)
+                return st, (det, out, extras)
 
-            track_state, (dets, outs) = jax.lax.scan(
+            track_state, (dets, outs, extras) = jax.lax.scan(
                 step, track_state, (frames_u8, warps)
             )
-            return track_state, dets, outs
+            return track_state, dets, outs, extras
 
-        return detect_step, track_step, track_chunk, lp
+        # batched multi-stream step: vmap the SAME body over a leading
+        # stream axis (params broadcast) — per-stream GMC warps, ReID
+        # feats, and seg/pose extras all ride along (SURVEY.md §2.5 DP:
+        # streams are independent, so the batch is collective-free)
+        batch_step = jax.jit(jax.vmap(_track_body, in_axes=(None, 0, 0, 0)))
+
+        return _StepSet(detect_step, track_step, track_chunk, batch_step, lp)
 
     def _get_step(self, src_hw):
         if src_hw not in self._steps:
@@ -444,8 +455,9 @@ class Pipeline:
         """Detect without tracking (reference ``model.predict``,
         yolo_multi_model.py:173)."""
         src_hw = frame_bgr.shape[:2]
-        detect_step, _, _, lp = self._get_step(src_hw)
-        det, extras = detect_step(self.params, jnp.asarray(frame_bgr))
+        steps = self._get_step(src_hw)
+        lp = steps.lp
+        det, extras = steps.detect_step(self.params, jnp.asarray(frame_bgr))
         det = jax.tree.map(np.asarray, det)
         extras = {k: np.asarray(v) for k, v in extras.items()}
         n = int(det.count)
@@ -458,17 +470,8 @@ class Pipeline:
             orig_img=frame_bgr,
         )
 
-    def track(self, frame_bgr: np.ndarray) -> Results:
-        """Detect + track (reference ``model.track`` with persist=True,
-        yolo_multi_model.py:41). Returns active tracks as rows."""
-        src_hw = frame_bgr.shape[:2]
-        _, track_step, _, lp = self._get_step(src_hw)
-        warp = jnp.asarray(self.gmc.apply(frame_bgr))
-        self.track_state, det, out, extras = track_step(
-            self.params, self.track_state, jnp.asarray(frame_bgr), warp
-        )
-        out = jax.tree.map(np.asarray, out)
-        extras = {k: np.asarray(v) for k, v in extras.items()}
+    def _track_results(self, out, extras, src_hw, lp, orig_img=None) -> Results:
+        """Host-side Results assembly from one frame's track outputs."""
         rows = np.where(out.active)[0]
         boxes = Boxes(
             out.boxes[rows], out.score[rows], out.cls[rows],
@@ -480,8 +483,40 @@ class Pipeline:
             self.names,
             masks=self._mk_masks(extras, det_rows, src_hw, lp),
             keypoints=self._mk_kpts(extras, det_rows),
-            orig_img=frame_bgr,
+            orig_img=orig_img,
         )
+
+    def track_async(self, frame_bgr: np.ndarray, warp=None):
+        """Dispatch one track step WITHOUT materializing the outputs.
+
+        JAX dispatch is asynchronous: the returned handle holds device
+        arrays still being computed, so the host can decode the next
+        frame / run its GMC sparse-flow (``self.gmc.apply``) while the
+        device works — pass the result to :meth:`materialize` to get
+        the Results. One-tick pipelining of this pair overlaps all
+        host work with device compute (SURVEY.md §7 hard part #6).
+        """
+        src_hw = frame_bgr.shape[:2]
+        steps = self._get_step(src_hw)
+        if warp is None:
+            warp = self.gmc.apply(frame_bgr)
+        self.track_state, det, out, extras = steps.track_step(
+            self.params, self.track_state, jnp.asarray(frame_bgr),
+            jnp.asarray(warp),
+        )
+        return (out, extras, src_hw, steps.lp, frame_bgr)
+
+    def materialize(self, handle) -> Results:
+        """Block on a :meth:`track_async` handle -> Results."""
+        out, extras, src_hw, lp, frame_bgr = handle
+        out = jax.tree.map(np.asarray, out)
+        extras = {k: np.asarray(v) for k, v in extras.items()}
+        return self._track_results(out, extras, src_hw, lp, frame_bgr)
+
+    def track(self, frame_bgr: np.ndarray) -> Results:
+        """Detect + track (reference ``model.track`` with persist=True,
+        yolo_multi_model.py:41). Returns active tracks as rows."""
+        return self.materialize(self.track_async(frame_bgr))
 
     def __call__(self, frame_bgr: np.ndarray, track: bool = True) -> Results:
         return self.track(frame_bgr) if track else self.predict(frame_bgr)
@@ -490,33 +525,35 @@ class Pipeline:
         """Offline/throughput mode: (T, H, W, 3) frames in one device
         dispatch (lax.scan) — same sequential tracker semantics as T
         ``track`` calls with T-fold lower dispatch overhead. GMC warps
-        are computed host-side per frame first."""
+        are computed host-side per frame first. Seg/pose extras ride
+        along (masks/keypoints per frame, same as ``track``)."""
         t = len(frames_bgr)
         src_hw = frames_bgr[0].shape[:2]
-        _, _, chunk_fn, _ = self._get_step(src_hw)
+        steps = self._get_step(src_hw)
         warps = np.stack([self.gmc.apply(f) for f in frames_bgr])
-        self.track_state, dets, outs = chunk_fn(
+        self.track_state, dets, outs, extras = steps.track_chunk(
             self.params,
             self.track_state,
             jnp.asarray(np.asarray(frames_bgr)),
             jnp.asarray(warps),
         )
         outs = jax.tree.map(np.asarray, outs)
-        results = []
-        for k in range(t):
-            rows = np.where(outs.active[k])[0]
-            results.append(
-                Results(
-                    Boxes(
-                        outs.boxes[k][rows],
-                        outs.score[k][rows],
-                        outs.cls[k][rows],
-                        id=outs.track_id[k][rows],
-                    ),
-                    self.names,
-                )
+        extras = {k: np.asarray(v) for k, v in extras.items()}
+        return [
+            self._track_results(
+                jax.tree.map(lambda a: a[k], outs),
+                {key: v[k] for key, v in extras.items()},
+                src_hw,
+                steps.lp,
             )
-        return results
+            for k in range(t)
+        ]
+
+    def track_batch_prepare(self, num_streams: int, src_hw: tuple[int, int]):
+        """-> BatchedPipeline stepping ``num_streams`` same-resolution
+        streams through ONE device program (the reference forks one OS
+        process per source instead — yolo_multi_model.py:353-354)."""
+        return BatchedPipeline(self, num_streams, src_hw)
 
     def _mk_kpts(self, extras, det_rows):
         if "keypoints" not in extras:
@@ -542,3 +579,85 @@ class Pipeline:
             (self.det_cfg.imgsz, self.det_cfg.imgsz),
         )
         return Masks(xy, data)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-stream pipeline
+# ---------------------------------------------------------------------------
+
+
+class BatchedPipeline:
+    """S same-resolution streams stepped together in ONE jitted program.
+
+    TPU-native replacement for the reference's one-OS-process-per-source
+    fan-out (/root/reference/yolo_multi_model.py:353-354): the stream
+    axis is the batch axis of a vmapped track body, so all S streams
+    share one weight set, one compile, and one dispatch per frame tick.
+    Per-stream GMC state lives on the host (one GMC instance per
+    stream); per-stream tracker state is the leading axis of a stacked
+    TrackState pytree. Semantics per stream are identical to S
+    sequential ``Pipeline.track`` calls (tested in
+    tests/test_parallel.py).
+    """
+
+    def __init__(self, pipeline: Pipeline, num_streams: int, src_hw):
+        self.pipeline = pipeline
+        self.num_streams = num_streams
+        self.src_hw = tuple(src_hw)
+        self._steps = pipeline._get_step(self.src_hw)
+        self.gmcs = [make_gmc(pipeline.gmc.method) for _ in range(num_streams)]
+        self.states = jax.vmap(
+            lambda _: init_track_state(
+                pipeline.track_slots, feat_dim=pipeline.feat_dim
+            )
+        )(jnp.arange(num_streams))
+
+    def reset_stream(self, i: int) -> None:
+        """Reinitialize one stream's tracker + GMC state in place."""
+        fresh = init_track_state(
+            self.pipeline.track_slots, feat_dim=self.pipeline.feat_dim
+        )
+        self.states = jax.tree.map(
+            lambda batched, f: batched.at[i].set(f), self.states, fresh
+        )
+        self.gmcs[i].reset()
+
+    def compute_warps(self, frames: np.ndarray) -> np.ndarray:
+        """Per-stream GMC warps (host OpenCV work) — exposed separately
+        so callers can overlap it with the previous device step."""
+        return np.stack(
+            [g.apply(f) for g, f in zip(self.gmcs, frames)]
+        ).astype(np.float32)
+
+    def step_async(self, frames: np.ndarray, warps: np.ndarray | None = None):
+        """Dispatch one lockstep tick for all S streams without
+        materializing (JAX async dispatch — see Pipeline.track_async).
+        ``warps``: optional precomputed (S, 2, 3) GMC warps (from
+        ``compute_warps``); computed inline when omitted."""
+        if warps is None:
+            warps = self.compute_warps(frames)
+        p = self.pipeline
+        self.states, det, out, extras = self._steps.batch_step(
+            p.params, self.states, jnp.asarray(frames), jnp.asarray(warps)
+        )
+        return (out, extras)
+
+    def materialize(self, handle) -> list:
+        """Block on a :meth:`step_async` handle -> list of S Results."""
+        out, extras = handle
+        p = self.pipeline
+        out = jax.tree.map(np.asarray, out)
+        extras = {k: np.asarray(v) for k, v in extras.items()}
+        return [
+            p._track_results(
+                jax.tree.map(lambda a: a[s], out),
+                {key: v[s] for key, v in extras.items()},
+                self.src_hw,
+                self._steps.lp,
+            )
+            for s in range(self.num_streams)
+        ]
+
+    def step(self, frames: np.ndarray, warps: np.ndarray | None = None):
+        """frames: (S, H, W, 3) uint8 BGR -> list of S Results."""
+        return self.materialize(self.step_async(frames, warps))

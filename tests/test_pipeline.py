@@ -78,6 +78,46 @@ def test_track_chunk_equals_sequential(frame):
     )
 
 
+def test_track_chunk_carries_pose_extras(frame):
+    """Chunked mode must keep seg/pose parity: keypoints per frame
+    identical to sequential track() calls."""
+    frames = np.stack([np.roll(frame, 3 * t, axis=1) for t in range(3)])
+    pa = mkpipe("yolov8n-pose", seed=5)
+    pb = Pipeline(
+        DetectorConfig(
+            weights="yolov8n-pose", imgsz=160, half=False, max_det=16
+        ),
+        track_slots=16, seed=5, params=pa.params,
+    )
+    seq = [pa.track(f) for f in frames]
+    chk = pb.track_chunk(frames)
+    for a, b in zip(seq, chk):
+        assert (a.keypoints is None) == (b.keypoints is None)
+        if a.keypoints is not None and len(a.keypoints):
+            np.testing.assert_allclose(
+                a.keypoints.data, b.keypoints.data, atol=1e-4
+            )
+
+
+def test_track_chunk_carries_seg_extras(frame):
+    """Chunked mode returns masks identical to sequential track()."""
+    frames = np.stack([np.roll(frame, 3 * t, axis=1) for t in range(3)])
+    pa = mkpipe("yolov8n-seg", seed=6)
+    pb = Pipeline(
+        DetectorConfig(
+            weights="yolov8n-seg", imgsz=160, half=False, max_det=16
+        ),
+        track_slots=16, seed=6, params=pa.params,
+    )
+    seq = [pa.track(f) for f in frames]
+    chk = pb.track_chunk(frames)
+    for a, b in zip(seq, chk):
+        assert (a.masks is None) == (b.masks is None)
+        if a.masks is not None and len(a.masks):
+            np.testing.assert_allclose(a.masks.data, b.masks.data, atol=1e-4)
+            assert len(a.masks.xy) == len(b.masks.xy)
+
+
 def test_gmc_estimates_translation():
     """Sparse-optflow GMC recovers a synthetic camera shift."""
     from strongsort_yolo_tpu.track.gmc import SparseOptFlowGMC
