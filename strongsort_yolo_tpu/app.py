@@ -54,6 +54,7 @@ class AppConfig:
     count: bool = False
     weights: str = "yolov8n"
     tracker: str = "botsort.yaml"
+    reid_weights: str | None = None  # OSNet variant name or .pt path
     conf: float = 0.3
     iou: float = 0.4
     max_det: int = 1000
@@ -366,7 +367,10 @@ def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
         classes=cfg.classes,
         half=cfg.half,
     )
-    base = Pipeline(det_cfg, tracker=cfg.tracker, seed=cfg.seed)
+    base = Pipeline(
+        det_cfg, tracker=cfg.tracker, seed=cfg.seed,
+        reid_weights=cfg.reid_weights,
+    )
     used: set[str] = set()
     named = [
         (src, _stream_name(src if isinstance(src, str) else "synthetic", used))

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--tracker", type=str, default="botsort.yaml",
         help="tracker config name or YAML path (botsort.yaml, bytetrack.yaml)",
     )
+    parser.add_argument(
+        "--reid-weights", type=str, default=None,
+        help="ReID embedder: OSNet variant name (osnet_x0_25, ...) or a "
+        "torchreid .pt/.pth checkpoint path (StrongSORT/BoT-SORT ReID)",
+    )
     parser.add_argument("--conf", type=float, default=0.3, help="NMS confidence threshold")
     parser.add_argument("--iou", type=float, default=0.4, help="NMS IoU threshold")
     parser.add_argument("--max-det", type=int, default=1000, help="max detections per image")
@@ -68,6 +73,7 @@ def main(argv=None) -> int:
         count=args.count,
         weights=args.weights,
         tracker=args.tracker,
+        reid_weights=args.reid_weights,
         conf=args.conf,
         iou=args.iou,
         max_det=args.max_det,

@@ -2,21 +2,28 @@
 
 SURVEY.md H1: the StrongSORT configs in BASELINE.json require OSNet
 appearance embeddings. Architecture follows the OSNet paper (Zhou et
-al., omni-scale feature learning): a stem conv, three stages of OS
-blocks — each OS block runs T=1..4 stacked "Lite" 3x3 convs
-(pointwise + depthwise) in parallel streams, fuses them with a shared
-channel-attention aggregation gate, and projects back with a residual
-— with 1x1+avgpool transitions, ending in global pooling and a 512-d
-fc embedding.
+al., omni-scale feature learning) in the torchreid release layout —
+block structure, activations (ReLU throughout), and BatchNorm (eps
+1e-5) match the published ``osnet_x*`` checkpoints exactly so that
+``models/porting.port_osnet`` yields numerically identical features:
+
+- stem: 7x7/2 conv+BN+ReLU, 3x3/2 maxpool;
+- three stages of two OS blocks each; an OS block runs T=1..4 stacked
+  "Light" 3x3 convs (linear 1x1 pointwise -> depthwise 3x3 -> one BN
+  -> ReLU) in parallel streams, fuses them with a shared
+  channel-attention aggregation gate (reduction 16), and projects back
+  with a linear 1x1+BN plus a residual;
+- 1x1 conv + 2x2 avgpool transitions after stages 2 and 3;
+- final 1x1 conv, global average pool, and an fc embedding head
+  (Linear -> BatchNorm1d -> ReLU), L2-normalized on device so the
+  tracker's cosine costs are one matmul (track/cost.py).
 
 TPU-first: NHWC functional blocks from models/common.py; the whole
 embedder runs batched over all detection crops of a frame (one
-(M, 128, 64, 3) tensor from ops/crops.py), bf16-friendly. Embeddings
-are L2-normalized on device so the tracker's cosine costs are one
-matmul (track/cost.py).
+(M, 128, 64, 3) tensor from ops/crops.py), bf16-friendly.
 
 Width multipliers follow the released variants: x1_0 -> (64, 256, 384,
-512), x0_5, x0_25 (the tracking default: (16, 64, 96, 128)).
+512), x0_75, x0_5, x0_25 (the tracking default: (16, 64, 96, 128)).
 """
 
 from __future__ import annotations
@@ -30,6 +37,8 @@ import jax.numpy as jnp
 from strongsort_yolo_tpu.models import common as C
 
 Params = dict[str, Any]
+
+BN_EPS = 1e-5  # torch BatchNorm default (torchreid checkpoints)
 
 VARIANTS = {
     "osnet_x1_0": 1.0,
@@ -51,25 +60,47 @@ class OsnetConfig:
         return tuple(int(c * m) for c in (64, 256, 384, 512))
 
 
+def _relu_conv(p, x, *, stride: int = 1, groups: int = 1):
+    """conv + BN + ReLU (torchreid ConvLayer / Conv1x1)."""
+    return jax.nn.relu(
+        C.conv_apply(p, x, stride=stride, groups=groups, act=False, eps=BN_EPS)
+    )
+
+
+def _linear_conv(p, x, *, groups: int = 1):
+    """conv + BN, NO activation (torchreid Conv1x1Linear)."""
+    return C.conv_apply(p, x, groups=groups, act=False, eps=BN_EPS)
+
+
 def _init_lite_conv(key, c_in, c_out):
-    """Lite 3x3 = 1x1 pointwise + 3x3 depthwise (OSNet building unit)."""
+    """LightConv3x3: linear 1x1 pointwise (no BN) -> depthwise 3x3 ->
+    one BN -> ReLU (the torchreid building unit)."""
+    import math
+
     k1, k2 = jax.random.split(key)
+    std = math.sqrt(2.0 / c_in)
     return {
-        "pw": C.init_conv(k1, c_in, c_out, 1),
+        # bias-free linear pointwise ("b" zeros => conv_apply skips BN)
+        "pw": {
+            "w": (jax.random.normal(k1, (1, 1, c_in, c_out)) * std).astype(
+                jnp.float32
+            ),
+            "b": jnp.zeros((c_out,), jnp.float32),
+        },
         "dw": C.init_conv(k2, c_out, c_out, 3, groups=c_out),
     }
 
 
 def _lite_conv_apply(p, x):
-    x = C.conv_apply(p["pw"], x)
-    return C.conv_apply(p["dw"], x, groups=x.shape[-1])
+    x = C.conv_apply(p["pw"], x, act=False)  # pure linear
+    return _relu_conv(p["dw"], x, groups=x.shape[-1])
 
 
 def _init_gate(key, c):
     """Aggregation gate: squeeze -> fc -> relu -> fc -> sigmoid,
-    shared across streams of a block."""
+    shared across streams of a block (torchreid reduction=16)."""
     k1, k2 = jax.random.split(key)
-    r = max(c // 16, 4)
+    r = max(c // 16, 1)
     return {
         "fc1": C.init_conv2d_bias(k1, c, r, 1),
         "fc2": C.init_conv2d_bias(k2, r, c, 1),
@@ -105,7 +136,7 @@ def _init_os_block(key, c_in, c_out, streams: int = 4):
 
 
 def _os_block_apply(p, x):
-    y = C.conv_apply(p["conv1"], x)
+    y = _relu_conv(p["conv1"], x)
     agg = None
     for convs in p["streams"]:
         s = y
@@ -113,8 +144,8 @@ def _os_block_apply(p, x):
             s = _lite_conv_apply(cp, s)
         s = _gate_apply(p["gate"], s)
         agg = s if agg is None else agg + s
-    out = C.conv_apply(p["conv3"], agg, act=False)
-    res = x if "down" not in p else C.conv_apply(p["down"], x, act=False)
+    out = _linear_conv(p["conv3"], agg)
+    res = x if "down" not in p else _linear_conv(p["down"], x)
     return jax.nn.relu(out + res)
 
 
@@ -132,7 +163,16 @@ def init_osnet(key: jax.Array, cfg: OsnetConfig = OsnetConfig()) -> Params:
         "b4a": _init_os_block(ks[7], c3, c4),
         "b4b": _init_os_block(ks[8], c4, c4),
         "conv5": C.init_conv(ks[9], c4, c4, 1),
-        "fc": C.init_conv2d_bias(ks[10], c4, cfg.feat_dim, 1),
+        # fc head: Linear -> BN1d -> ReLU (torchreid fc.0 / fc.1)
+        "fc": {
+            "lin": C.init_conv2d_bias(ks[10], c4, cfg.feat_dim, 1),
+            "bn": {
+                "bn_scale": jnp.ones((cfg.feat_dim,), jnp.float32),
+                "bn_bias": jnp.zeros((cfg.feat_dim,), jnp.float32),
+                "bn_mean": jnp.zeros((cfg.feat_dim,), jnp.float32),
+                "bn_var": jnp.ones((cfg.feat_dim,), jnp.float32),
+            },
+        },
     }
 
 
@@ -161,18 +201,25 @@ def osnet_apply(
     mean = jnp.asarray([0.485, 0.456, 0.406], compute_dtype)
     std = jnp.asarray([0.229, 0.224, 0.225], compute_dtype)
     x = (crops.astype(compute_dtype) - mean) / std
-    x = C.conv_apply(params["stem"], x, stride=2)
+    x = _relu_conv(params["stem"], x, stride=2)
     x = _maxpool_s2(x)
     x = _os_block_apply(params["b2a"], x)
     x = _os_block_apply(params["b2b"], x)
-    x = _avgpool2(C.conv_apply(params["t2"], x))
+    x = _avgpool2(_relu_conv(params["t2"], x))
     x = _os_block_apply(params["b3a"], x)
     x = _os_block_apply(params["b3b"], x)
-    x = _avgpool2(C.conv_apply(params["t3"], x))
+    x = _avgpool2(_relu_conv(params["t3"], x))
     x = _os_block_apply(params["b4a"], x)
     x = _os_block_apply(params["b4b"], x)
-    x = C.conv_apply(params["conv5"], x)
+    x = _relu_conv(params["conv5"], x)
     x = jnp.mean(x, axis=(1, 2))  # global average pool -> (M, c4)
-    feat = C.conv2d_bias_apply(params["fc"], x[:, None, None, :])[:, 0, 0, :]
+    fc = params["fc"]
+    feat = C.conv2d_bias_apply(fc["lin"], x[:, None, None, :])[:, 0, 0, :]
+    bn = fc["bn"]
+    scale = bn["bn_scale"] * jax.lax.rsqrt(bn["bn_var"] + BN_EPS)
+    feat = feat * scale.astype(feat.dtype) + (
+        bn["bn_bias"] - bn["bn_mean"] * scale
+    ).astype(feat.dtype)
+    feat = jax.nn.relu(feat)
     feat = feat.astype(jnp.float32)
     return feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)

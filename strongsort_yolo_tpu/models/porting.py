@@ -347,8 +347,12 @@ def load_checkpoint(path: str):
     if path.endswith(".npz"):
         return load_npz_checkpoint(path)
     state, meta = load_torch_checkpoint(path)
+    v7_cfg = infer_v7_config(state)
     v5_cfg = infer_v5_config(state)
-    if v5_cfg is not None:
+    if v7_cfg is not None:
+        cfg = v7_cfg
+        params = port_yolov7(state, cfg)
+    elif v5_cfg is not None:
         cfg = v5_cfg
         params = port_yolov5(state, cfg)
     else:
@@ -495,3 +499,285 @@ def infer_v5_config(state_dict: dict):
     else:
         nc = state_dict["model.24.cv3.0.2.weight"].shape[0]
     return Yolov5Config(scale=scale, nc=nc, anchor_free=u_head)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv7 porting (official WongKinYiu/yolov7 layout)
+# ---------------------------------------------------------------------------
+
+# Sequential indices of the official yolov7.yaml (base model). ELAN
+# entries are (cv1, cv2, [inner convs], merge); MP down-transitions are
+# (post-pool 1x1, pre-strided 1x1, strided 3x3) — the yaml spells each
+# block out as individual Conv layers + Concat, so every index below is
+# one ``model.{i}`` Conv.
+_V7_IDX = {
+    "stem0": 0, "stem1": 1, "stem2": 2, "down2": 3,
+    "elan2": (4, 5, [6, 7, 8, 9], 11),
+    "mp3": (13, 14, 15),
+    "elan3": (17, 18, [19, 20, 21, 22], 24),
+    "mp4": (26, 27, 28),
+    "elan4": (30, 31, [32, 33, 34, 35], 37),
+    "mp5": (39, 40, 41),
+    "elan5": (43, 44, [45, 46, 47, 48], 50),
+    "sppcspc": 51,
+    "lat4": 52, "route4": 54,
+    "elan_h4": (56, 57, [58, 59, 60, 61], 63),
+    "lat3": 64, "route3": 66,
+    "elan_h3": (68, 69, [70, 71, 72, 73], 75),
+    "mp_h4": (77, 78, 79),
+    "elan_h4b": (81, 82, [83, 84, 85, 86], 88),
+    "mp_h5": (90, 91, 92),
+    "elan_h5": (94, 95, [96, 97, 98, 99], 101),
+    "rep3": 102, "rep4": 103, "rep5": 104,
+    "detect": 105,
+}
+
+
+def _v7_elan(sd, idx):
+    cv1, cv2, inner, merge = idx
+    return {
+        "cv1": _conv(sd, f"model.{cv1}"),
+        "cv2": _conv(sd, f"model.{cv2}"),
+        "inner": [_conv(sd, f"model.{i}") for i in inner],
+        "merge": _conv(sd, f"model.{merge}"),
+    }
+
+
+def _v7_mp(sd, idx):
+    a, b, c = idx  # post-pool 1x1, pre-strided 1x1, strided 3x3
+    return {
+        "cv1": _conv(sd, f"model.{a}"),
+        "cv2": _conv(sd, f"model.{b}"),
+        "cv3": _conv(sd, f"model.{c}"),
+    }
+
+
+def _v7_repconv(sd, i):
+    """RepConv: training form (rbr_dense/rbr_1x1 conv+BN pairs) or the
+    deployed single conv (rbr_reparam)."""
+    if f"model.{i}.rbr_reparam.weight" in sd:
+        return {"fused": {
+            "w": np.transpose(sd[f"model.{i}.rbr_reparam.weight"], (2, 3, 1, 0)),
+            "b": sd[f"model.{i}.rbr_reparam.bias"],
+        }}
+
+    def branch(name):
+        return {
+            "w": np.transpose(sd[f"model.{i}.{name}.0.weight"], (2, 3, 1, 0)),
+            "bn_scale": sd[f"model.{i}.{name}.1.weight"],
+            "bn_bias": sd[f"model.{i}.{name}.1.bias"],
+            "bn_mean": sd[f"model.{i}.{name}.1.running_mean"],
+            "bn_var": sd[f"model.{i}.{name}.1.running_var"],
+        }
+
+    return {"dense": branch("rbr_dense"), "one": branch("rbr_1x1")}
+
+
+def _v7_detect(sd, i):
+    """IDetect head: fold the implicit-knowledge layers into the 1x1
+    convs (y = im * conv(x + ia)  =>  W'=W*im, b'=(b + W·ia)*im) — the
+    same algebra as the official deploy fuse()."""
+    out = []
+    for j in range(3):
+        w = sd[f"model.{i}.m.{j}.weight"]  # (na*no, c, 1, 1)
+        b = sd[f"model.{i}.m.{j}.bias"].copy()
+        ia = sd.get(f"model.{i}.ia.{j}.implicit")
+        im = sd.get(f"model.{i}.im.{j}.implicit")
+        if ia is not None:
+            b = b + w.reshape(w.shape[0], -1) @ ia.reshape(-1)
+        if im is not None:
+            w = w * im.reshape(-1, 1, 1, 1)
+            b = b * im.reshape(-1)
+        out.append({"w": np.transpose(w, (2, 3, 1, 0)), "b": b})
+    return {"m": out}
+
+
+def port_yolov7(state_dict: dict, cfg=None) -> Params:
+    """Map an official yolov7 state_dict onto models/yolov7.py's tree."""
+    sd = state_dict
+    ix = _V7_IDX
+    p: Params = {
+        "stem0": _conv(sd, f"model.{ix['stem0']}"),
+        "stem1": _conv(sd, f"model.{ix['stem1']}"),
+        "stem2": _conv(sd, f"model.{ix['stem2']}"),
+        "down2": _conv(sd, f"model.{ix['down2']}"),
+        "elan2": _v7_elan(sd, ix["elan2"]),
+        "mp3": _v7_mp(sd, ix["mp3"]),
+        "elan3": _v7_elan(sd, ix["elan3"]),
+        "mp4": _v7_mp(sd, ix["mp4"]),
+        "elan4": _v7_elan(sd, ix["elan4"]),
+        "mp5": _v7_mp(sd, ix["mp5"]),
+        "elan5": _v7_elan(sd, ix["elan5"]),
+        "sppcspc": {
+            k: _conv(sd, f"model.{ix['sppcspc']}.{k}")
+            for k in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7")
+        },
+        "lat4": _conv(sd, f"model.{ix['lat4']}"),
+        "route4": _conv(sd, f"model.{ix['route4']}"),
+        "elan_h4": _v7_elan(sd, ix["elan_h4"]),
+        "lat3": _conv(sd, f"model.{ix['lat3']}"),
+        "route3": _conv(sd, f"model.{ix['route3']}"),
+        "elan_h3": _v7_elan(sd, ix["elan_h3"]),
+        "mp_h4": _v7_mp(sd, ix["mp_h4"]),
+        "elan_h4b": _v7_elan(sd, ix["elan_h4b"]),
+        "mp_h5": _v7_mp(sd, ix["mp_h5"]),
+        "elan_h5": _v7_elan(sd, ix["elan_h5"]),
+        "rep3": _v7_repconv(sd, ix["rep3"]),
+        "rep4": _v7_repconv(sd, ix["rep4"]),
+        "rep5": _v7_repconv(sd, ix["rep5"]),
+        "detect": _v7_detect(sd, ix["detect"]),
+    }
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p)
+
+
+def infer_v7_config(state_dict: dict):
+    """Detect an official-yolov7 checkpoint and build its config, or
+    None. Signature: RepConv keys at model.102-104 + head at 105."""
+    from strongsort_yolo_tpu.models.yolov7 import V7_ANCHORS, Yolov7Config
+
+    keys = state_dict.keys()
+    rep = f"model.{_V7_IDX['rep3']}"
+    if not (
+        f"{rep}.rbr_dense.0.weight" in keys or f"{rep}.rbr_reparam.weight" in keys
+    ):
+        return None
+    head = f"model.{_V7_IDX['detect']}"
+    no_total = state_dict[f"{head}.m.0.weight"].shape[0]
+    nc = no_total // 3 - 5
+    # sanity-check the anchor priors when the buffer is present
+    ag = state_dict.get(f"{head}.anchor_grid")
+    if ag is not None:
+        got = np.asarray(ag).reshape(3, 3, 2)
+        want = np.asarray(V7_ANCHORS, np.float32)
+        if not np.allclose(got, want, atol=0.5):
+            print(
+                "[porting] WARNING: yolov7 checkpoint anchors differ from "
+                f"the base priors; decode will use the checkpoint-era table:\n{got}"
+            )
+    return Yolov7Config(nc=nc)
+
+
+# ---------------------------------------------------------------------------
+# OSNet porting (torchreid layout)
+# ---------------------------------------------------------------------------
+
+_OSNET_STAGES = {
+    "b2a": "conv2.0", "b2b": "conv2.1", "t2": "conv2.2.0",
+    "b3a": "conv3.0", "b3b": "conv3.1", "t3": "conv3.2.0",
+    "b4a": "conv4.0", "b4b": "conv4.1",
+}
+
+
+def _os_lite(sd, prefix):
+    """torchreid LightConv3x3: conv1 (linear 1x1), conv2 (depthwise
+    3x3), one bn."""
+    pw_w = np.transpose(sd[f"{prefix}.conv1.weight"], (2, 3, 1, 0))
+    c_out = pw_w.shape[-1]
+    return {
+        "pw": {"w": pw_w, "b": np.zeros((c_out,), np.float32)},
+        "dw": {
+            "w": np.transpose(sd[f"{prefix}.conv2.weight"], (2, 3, 1, 0)),
+            "bn_scale": sd[f"{prefix}.bn.weight"],
+            "bn_bias": sd[f"{prefix}.bn.bias"],
+            "bn_mean": sd[f"{prefix}.bn.running_mean"],
+            "bn_var": sd[f"{prefix}.bn.running_var"],
+        },
+    }
+
+
+def _os_block_port(sd, prefix):
+    stream_lens = {"conv2a": 1, "conv2b": 2, "conv2c": 3, "conv2d": 4}
+    streams = []
+    for name, t in stream_lens.items():
+        if t == 1:
+            streams.append([_os_lite(sd, f"{prefix}.{name}")])
+        else:
+            streams.append(
+                [_os_lite(sd, f"{prefix}.{name}.{j}") for j in range(t)]
+            )
+    p = {
+        "conv1": _conv(sd, f"{prefix}.conv1"),
+        "gate": {
+            "fc1": _conv2d(sd, f"{prefix}.gate.fc1"),
+            "fc2": _conv2d(sd, f"{prefix}.gate.fc2"),
+        },
+        "conv3": _conv(sd, f"{prefix}.conv3"),
+        "streams": streams,
+    }
+    if f"{prefix}.downsample.conv.weight" in sd:
+        p["down"] = _conv(sd, f"{prefix}.downsample")
+    return p
+
+
+def port_osnet(state_dict: dict) -> Params:
+    """Map a torchreid OSNet state_dict onto models/osnet.py's tree."""
+    sd = state_dict
+    p: Params = {"stem": _conv(sd, "conv1")}
+    for ours, theirs in _OSNET_STAGES.items():
+        if ours.startswith("t"):
+            p[ours] = _conv(sd, theirs)
+        else:
+            p[ours] = _os_block_port(sd, theirs)
+    p["conv5"] = _conv(sd, "conv5")
+    lin_w = sd["fc.0.weight"]  # (feat, c4)
+    p["fc"] = {
+        "lin": {
+            "w": np.transpose(lin_w)[None, None],  # (1,1,c4,feat)
+            "b": sd["fc.0.bias"],
+        },
+        "bn": {
+            "bn_scale": sd["fc.1.weight"],
+            "bn_bias": sd["fc.1.bias"],
+            "bn_mean": sd["fc.1.running_mean"],
+            "bn_var": sd["fc.1.running_var"],
+        },
+    }
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p)
+
+
+def infer_osnet_config(state_dict: dict):
+    """-> OsnetConfig from checkpoint structure, or None."""
+    from strongsort_yolo_tpu.models.osnet import OsnetConfig, VARIANTS
+
+    if "conv2.0.conv2a.conv1.weight" not in state_dict:
+        return None
+    c1 = state_dict["conv1.conv.weight"].shape[0]
+    variant = None
+    for name, m in VARIANTS.items():
+        if int(64 * m) == c1:
+            variant = name
+            break
+    if variant is None:
+        return None
+    feat_dim = state_dict["fc.0.weight"].shape[0]
+    return OsnetConfig(variant=variant, feat_dim=feat_dim)
+
+
+def load_reid_checkpoint(path: str):
+    """Load a torchreid OSNet ``.pt``/``.pth`` -> (params, OsnetConfig).
+
+    torchreid checkpoints are either a bare state_dict or
+    {"state_dict": ...}, with optional DataParallel "module." prefixes.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    state = {}
+    for k, v in sd.items():
+        if not hasattr(v, "detach"):
+            continue
+        k = k[len("module."):] if k.startswith("module.") else k
+        state[k] = v.detach().float().cpu().numpy()
+    cfg = infer_osnet_config(state)
+    if cfg is None:
+        raise ValueError(f"{path} is not a recognizable torchreid OSNet checkpoint")
+    return port_osnet(state), cfg

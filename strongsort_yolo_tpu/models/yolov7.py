@@ -130,7 +130,10 @@ def _maxpool2(x):
 def mp_apply(p, x):
     a = C.conv_apply(p["cv1"], _maxpool2(x))
     b = C.conv_apply(p["cv3"], C.conv_apply(p["cv2"], x), stride=2)
-    return jnp.concatenate([a, b], axis=-1)
+    # conv path first, pooled path second — the official yolov7.yaml
+    # Concat order ([-1, -3]: strided-conv output, then post-pool conv),
+    # which the .pt porting map (porting._V7_IDX) relies on
+    return jnp.concatenate([b, a], axis=-1)
 
 
 def init_sppcspc(key, c_in, c_out):

@@ -231,12 +231,27 @@ class Pipeline:
                 OsnetConfig, init_osnet,
             )
 
-            self.reid_cfg = OsnetConfig(
-                variant=reid_weights or "osnet_x0_25"
-            )
-            self.reid_params = reid_params or init_osnet(
-                jax.random.PRNGKey(seed + 1), self.reid_cfg
-            )
+            if reid_params is not None:
+                self.reid_cfg = OsnetConfig(
+                    variant=reid_weights or "osnet_x0_25"
+                )
+                self.reid_params = reid_params
+            elif reid_weights and os.path.exists(reid_weights):
+                # torchreid .pt/.pth checkpoint (SURVEY.md H1)
+                from strongsort_yolo_tpu.models.porting import (
+                    load_reid_checkpoint,
+                )
+
+                self.reid_params, self.reid_cfg = load_reid_checkpoint(
+                    reid_weights
+                )
+            else:
+                self.reid_cfg = OsnetConfig(
+                    variant=reid_weights or "osnet_x0_25"
+                )
+                self.reid_params = init_osnet(
+                    jax.random.PRNGKey(seed + 1), self.reid_cfg
+                )
             feat_dim = self.reid_cfg.feat_dim
         self.track_slots = track_slots
         self.tracker_max_dets = tracker_max_dets
