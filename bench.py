@@ -168,7 +168,7 @@ def main() -> None:
     )
     log(f"compiled step: {flops_frame/1e9:.2f} GFLOP/frame")
 
-    state, dets_c, outs_c, _ = steps.track_chunk(
+    state, outs_c, _ = steps.track_chunk(
         pipe.params, state, dev_frames, warps
     )
     jax.block_until_ready(outs_c)
@@ -176,7 +176,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     for i in range(FRAMES // chunk):
-        state, dets_c, outs_c, _ = steps.track_chunk(
+        state, outs_c, _ = steps.track_chunk(
             pipe.params, state, dev_frames, warps
         )
     jax.block_until_ready((state, outs_c))
@@ -210,7 +210,7 @@ def main() -> None:
     with ThreadPoolExecutor(max_workers=1) as ex:
         for i in range(n_chunks):
             fut = ex.submit(compute_warps)  # host: next chunk's warps
-            state, dets_c, outs_c, _ = steps.track_chunk(
+            state, outs_c, _ = steps.track_chunk(
                 pipe.params, state, dev_frames, pending_warps
             )
             pending_warps = fut.result()

@@ -71,6 +71,11 @@ class AppConfig:
     multi_mode: str = "batched"  # "batched": lockstep device batch for
     # same-resolution sources (reference-parity concurrency);
     # "sequential": one source after another
+    log_events: str | None = None  # JSON-lines event log (SURVEY §5.5)
+    resume: bool = False  # restore tracker state + frame position from
+    # the per-stream checkpoint and continue (SURVEY §5.4)
+    checkpoint_every: int = 0  # save TrackState every N frames (0: only
+    # when --resume is set, which defaults the cadence to 25)
 
 
 @dataclasses.dataclass
@@ -107,14 +112,56 @@ def open_source(source):
     return reader, reader.width, reader.height
 
 
+def _ckpt_path(cfg: AppConfig, name: str) -> str:
+    return os.path.abspath(os.path.join(cfg.output_dir, f"{name}_ckpt"))
+
+
+def _ckpt_every(cfg: AppConfig) -> int:
+    if cfg.checkpoint_every > 0:
+        return cfg.checkpoint_every
+    return 25 if cfg.resume else 0
+
+
+def _try_restore(cfg: AppConfig, name: str, template):
+    """-> (TrackState, last_frame_id) from the stream checkpoint, or
+    None when absent / --resume not set."""
+    import numpy as np_
+
+    path = _ckpt_path(cfg, name)
+    if not cfg.resume or not os.path.isdir(path):
+        return None
+    from strongsort_yolo_tpu.utils.checkpoint import restore_state
+
+    data = restore_state(
+        path, {"track_state": template, "frame_id": np_.asarray(0, np_.int64)}
+    )
+    return data["track_state"], int(data["frame_id"])
+
+
+def _save_ckpt(cfg: AppConfig, name: str, track_state, frame_id: int) -> None:
+    import numpy as np_
+
+    from strongsort_yolo_tpu.utils.checkpoint import save_state
+
+    save_state(
+        _ckpt_path(cfg, name),
+        {"track_state": track_state, "frame_id": np_.asarray(frame_id, np_.int64)},
+    )
+
+
 class _StreamCtx:
     """One stream's host-side state: annotator, analytics, writers,
     stats — shared by the sequential and batched loops."""
 
-    def __init__(self, cfg: AppConfig, source, name: str, names, width, height):
+    def __init__(
+        self, cfg: AppConfig, source, name: str, names, width, height,
+        *, start_frame: int = 0, events=None,
+    ):
         self.cfg = cfg
         self.source = source
         self.name = name
+        self.start_frame = start_frame
+        self.events = events
         self.stats = StreamStats(source=str(source))
         self.annotator = make_annotator(names, seed=cfg.seed)
         self.trails = TrajectoryMemory()
@@ -130,8 +177,15 @@ class _StreamCtx:
             self.writer = VideoWriter(out_path, width, height, cfg.out_fps)
             self.stats.output_video = out_path
             labels_path = os.path.join(cfg.output_dir, f"{name}_labels.txt")
-            self.label_writer = LabelWriter(labels_path, compat=cfg.compat_labels)
+            self.label_writer = LabelWriter(
+                labels_path, compat=cfg.compat_labels, append=start_frame > 0
+            )
             self.stats.labels_file = labels_path
+        if events:
+            events.log(
+                "stream_start", stream=name, source=str(source),
+                start_frame=start_frame,
+            )
         self._t0 = time.time()
 
     def postprocess(self, frame: np.ndarray, results, frame_id: int):
@@ -169,6 +223,12 @@ class _StreamCtx:
         self.stats.mean_fps = frames / elapsed
         self.stats.counts = self.counter.counts() if self.cfg.count else None
         self.stats.stage_times = self.timers.summary()
+        if self.events:
+            self.events.log(
+                "stream_end", stream=self.name, frames=frames,
+                mean_fps=round(self.stats.mean_fps, 2),
+                errors=self.stats.errors, counts=self.stats.counts,
+            )
         if self.writer:
             self.writer.release()
         if self.label_writer:
@@ -185,6 +245,7 @@ def process_video(
     source,
     name: str,
     pipeline: Pipeline,
+    events=None,
 ) -> StreamStats:
     """One stream's loop: read → step → overlay → write, with one-tick
     host/device overlap in track mode (frame t's GMC + frame t-1's
@@ -199,12 +260,24 @@ def process_video(
         return StreamStats(source=str(source))
 
     pipeline.reset()
-    ctx = _StreamCtx(cfg, source, name, pipeline.names, width, height)
+    start_frame = 0
+    restored = _try_restore(cfg, name, pipeline.track_state) if cfg.track else None
+    if restored is not None:
+        pipeline.track_state, start_frame = restored
+        if events:
+            events.log("resume", stream=name, frame_id=start_frame)
+    ctx = _StreamCtx(
+        cfg, source, name, pipeline.names, width, height,
+        start_frame=start_frame, events=events,
+    )
+    ckpt_every = _ckpt_every(cfg) if cfg.track else 0
     frame_id = 0
     pending = None  # (frame, frame_id, async handle)
     try:
         for frame in reader:
             frame_id += 1
+            if frame_id <= start_frame:
+                continue  # already processed before the restart
             if cfg.max_frames and frame_id > cfg.max_frames:
                 frame_id -= 1
                 break
@@ -212,10 +285,16 @@ def process_video(
                 if cfg.track:
                     with ctx.timers.stage("dispatch"):
                         handle = pipeline.track_async(frame)
+                    if ckpt_every and frame_id % ckpt_every == 0:
+                        _save_ckpt(cfg, name, pipeline.track_state, frame_id)
+                        if events:
+                            events.log("checkpoint", stream=name, frame_id=frame_id)
                 else:
                     handle = None
             except Exception as e:  # corrupt frame: skip, keep stream
                 ctx.stats.errors += 1
+                if events:
+                    events.log("frame_error", stream=name, frame_id=frame_id, error=str(e))
                 print(f"[WARN] {source} frame {frame_id} skipped: {e}")
                 continue
 
@@ -227,6 +306,8 @@ def process_video(
                         results = pipeline.materialize(phandle)
                 except Exception as e:
                     ctx.stats.errors += 1
+                    if events:
+                        events.log("frame_error", stream=name, frame_id=pid, error=str(e))
                     print(f"[WARN] {source} frame {pid} skipped: {e}")
                 else:
                     ctx.postprocess(pframe, results, pid)
@@ -247,6 +328,8 @@ def process_video(
                     results = pipeline.materialize(phandle)
             except Exception as e:
                 ctx.stats.errors += 1
+                if events:
+                    events.log("frame_error", stream=name, frame_id=pid, error=str(e))
                 print(f"[WARN] {source} frame {pid} skipped: {e}")
             else:
                 ctx.postprocess(pframe, results, pid)
@@ -262,11 +345,13 @@ def process_video(
 # ---------------------------------------------------------------------------
 
 
-def _reader_thread(reader, q, max_frames):
+def _reader_thread(reader, q, max_frames, skip: int = 0):
     n = 0
     try:
         for frame in reader:
             n += 1
+            if n <= skip:
+                continue  # already processed before a restart (resume)
             if max_frames and n > max_frames:
                 break
             q.put(frame)
@@ -276,29 +361,51 @@ def _reader_thread(reader, q, max_frames):
             reader.release()
 
 
-def _run_group_batched(cfg: AppConfig, pipeline: Pipeline, group) -> list[StreamStats]:
+def _run_group_batched(
+    cfg: AppConfig, pipeline: Pipeline, group, events=None
+) -> list[StreamStats]:
     """Lockstep loop over same-resolution streams: one BatchedPipeline
     tick per frame index, per-stream reader threads, per-stream host
     postprocessing with error isolation (SURVEY.md §5.3)."""
     S = len(group)
     _, _, _, width, height = group[0]
     bp = pipeline.track_batch_prepare(S, (height, width))
+    starts = []
+    for s, (source, name, _, _, _) in enumerate(group):
+        restored = _try_restore(cfg, name, pipeline.track_state)
+        if restored is not None:
+            state_s, start = restored
+            import jax as _jax
+
+            bp.states = _jax.tree.map(
+                lambda batched, one: batched.at[s].set(one), bp.states, state_s
+            )
+            if events:
+                events.log("resume", stream=name, frame_id=start)
+            starts.append(start)
+        else:
+            starts.append(0)
     ctxs = [
-        _StreamCtx(cfg, source, name, pipeline.names, width, height)
-        for source, name, _, width, height in group
+        _StreamCtx(
+            cfg, source, name, pipeline.names, width, height,
+            start_frame=start, events=events,
+        )
+        for (source, name, _, width, height), start in zip(group, starts)
     ]
     queues = [queue_mod.Queue(maxsize=4) for _ in range(S)]
     threads = [
         threading.Thread(
-            target=_reader_thread, args=(reader, q, cfg.max_frames), daemon=True
+            target=_reader_thread,
+            args=(reader, q, cfg.max_frames, start), daemon=True,
         )
-        for (_, _, reader, _, _), q in zip(group, queues)
+        for (_, _, reader, _, _), q, start in zip(group, queues, starts)
     ]
     for t in threads:
         t.start()
 
+    ckpt_every = _ckpt_every(cfg)
     live = np.ones(S, bool)
-    frame_ids = np.zeros(S, np.int64)
+    frame_ids = np.asarray(starts, np.int64)
     last = [np.zeros((height, width, 3), np.uint8) for _ in range(S)]
     pending = None  # (frames list, mask, ids, async handle)
 
@@ -312,10 +419,16 @@ def _run_group_batched(cfg: AppConfig, pipeline: Pipeline, group) -> list[Stream
                 ctxs[s].postprocess(frames[s], results[s], int(ids[s]))
             except Exception as e:
                 ctxs[s].stats.errors += 1
+                if events:
+                    events.log(
+                        "frame_error", stream=ctxs[s].name,
+                        frame_id=int(ids[s]), error=str(e),
+                    )
                 print(f"[WARN] {ctxs[s].source} frame {ids[s]} skipped: {e}")
             if ctxs[s].stop:
                 live[s] = False
 
+    tick = 0
     while live.any():
         frames = []
         mask = live.copy()
@@ -339,6 +452,19 @@ def _run_group_batched(cfg: AppConfig, pipeline: Pipeline, group) -> list[Stream
             if pending is not None:
                 flush(pending)
             pending = (frames, mask, frame_ids.copy(), handle)
+            tick += 1
+            if ckpt_every and tick % ckpt_every == 0:
+                import jax as _jax
+
+                for s in range(S):
+                    if mask[s]:
+                        _save_ckpt(
+                            cfg, ctxs[s].name,
+                            _jax.tree.map(lambda a: a[s], bp.states),
+                            int(frame_ids[s]),
+                        )
+                if events:
+                    events.log("checkpoint", tick=tick)
     if pending is not None:
         flush(pending)
 
@@ -371,53 +497,64 @@ def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
         det_cfg, tracker=cfg.tracker, seed=cfg.seed,
         reid_weights=cfg.reid_weights,
     )
+    from strongsort_yolo_tpu.utils.logging import EventLogger
+
+    events = EventLogger(cfg.log_events) if cfg.log_events else None
     used: set[str] = set()
     named = [
         (src, _stream_name(src if isinstance(src, str) else "synthetic", used))
         for src in sources
     ]
 
-    use_batched = (
-        cfg.multi_mode == "batched"
-        and cfg.track
-        and len(sources) > 1
-        and not (cfg.count and not cfg.track)
-    )
-    if not use_batched:
-        stats = []
-        for source, name in named:
-            # One stream's failure must not kill the others (the
-            # reference got this from Pool process isolation,
-            # yolo_multi_model.py:353 — SURVEY.md §5.3).
+    try:
+        use_batched = (
+            cfg.multi_mode == "batched"
+            and cfg.track
+            and len(sources) > 1
+            and not (cfg.count and not cfg.track)
+        )
+        if not use_batched:
+            stats = []
+            for source, name in named:
+                # One stream's failure must not kill the others (the
+                # reference got this from Pool process isolation,
+                # yolo_multi_model.py:353 — SURVEY.md §5.3).
+                try:
+                    stats.append(process_video(cfg, source, name, base, events))
+                except Exception as e:
+                    print(f"[ERROR] stream {source} failed: {e}")
+                    if events:
+                        events.log("stream_failed", stream=name, error=str(e))
+                    stats.append(StreamStats(source=str(source), failed=str(e)))
+            return stats
+
+        # open everything, group by resolution (one compiled program per
+        # (S, H, W) signature)
+        stats_by_idx: dict[int, StreamStats] = {}
+        groups: dict[tuple[int, int], list] = {}
+        order: dict[tuple[int, int], list[int]] = {}
+        for i, (source, name) in enumerate(named):
+            reader, w, h = open_source(source)
+            if reader is None:
+                stats_by_idx[i] = StreamStats(source=str(source))
+                continue
+            groups.setdefault((w, h), []).append((source, name, reader, w, h))
+            order.setdefault((w, h), []).append(i)
+
+        for key, group in groups.items():
             try:
-                stats.append(process_video(cfg, source, name, base))
+                gstats = _run_group_batched(cfg, base, group, events)
             except Exception as e:
-                print(f"[ERROR] stream {source} failed: {e}")
-                stats.append(StreamStats(source=str(source), failed=str(e)))
-        return stats
-
-    # open everything, group by resolution (one compiled program per
-    # (S, H, W) signature)
-    stats_by_idx: dict[int, StreamStats] = {}
-    groups: dict[tuple[int, int], list] = {}
-    order: dict[tuple[int, int], list[int]] = {}
-    for i, (source, name) in enumerate(named):
-        reader, w, h = open_source(source)
-        if reader is None:
-            stats_by_idx[i] = StreamStats(source=str(source))
-            continue
-        groups.setdefault((w, h), []).append((source, name, reader, w, h))
-        order.setdefault((w, h), []).append(i)
-
-    for key, group in groups.items():
-        try:
-            gstats = _run_group_batched(cfg, base, group)
-        except Exception as e:
-            print(f"[ERROR] stream group {key} failed: {e}")
-            gstats = [
-                StreamStats(source=str(src), failed=str(e))
-                for src, *_ in group
-            ]
-        for i, st in zip(order[key], gstats):
-            stats_by_idx[i] = st
-    return [stats_by_idx[i] for i in range(len(named))]
+                print(f"[ERROR] stream group {key} failed: {e}")
+                if events:
+                    events.log("group_failed", group=str(key), error=str(e))
+                gstats = [
+                    StreamStats(source=str(src), failed=str(e))
+                    for src, *_ in group
+                ]
+            for i, st in zip(order[key], gstats):
+                stats_by_idx[i] = st
+        return [stats_by_idx[i] for i in range(len(named))]
+    finally:
+        if events:
+            events.close()

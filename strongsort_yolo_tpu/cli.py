@@ -56,6 +56,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-half", action="store_true", help="float32 compute")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument(
+        "--log-events", type=str, default=None,
+        help="write a JSON-lines event log (stream_start/frame_error/"
+        "checkpoint/stream_end) to this path",
+    )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="restore tracker state + frame position from the stream "
+        "checkpoint in the output dir and continue (keeps track ids)",
+    )
+    parser.add_argument(
+        "--checkpoint-every", type=int, default=0,
+        help="save tracker state every N frames (0 = 25 when --resume)",
+    )
+    parser.add_argument(
         "--multi-mode", choices=("batched", "sequential"), default="batched",
         help="multi-source execution: 'batched' runs same-resolution "
         "sources concurrently in one device program (parity with the "
@@ -86,6 +100,9 @@ def main(argv=None) -> int:
         half=not args.no_half,
         max_frames=args.max_frames,
         multi_mode=args.multi_mode,
+        log_events=args.log_events,
+        resume=args.resume,
+        checkpoint_every=args.checkpoint_every,
     )
     for s in run(cfg):
         line = f"[{s.source}] frames={s.frames} fps={s.mean_fps:.2f}"

@@ -109,3 +109,59 @@ class SyntheticSource:
                 color = self.objs[tid - 1][7]
                 frame[int(y1) : int(y2), int(x1) : int(x2)] = color
             yield frame
+
+
+class SyntheticDetSource:
+    """Moving shaded rectangles matching tools/train.py's synthetic
+    detection task (class = brightness bucket, noise background) — the
+    video counterpart of the training distribution, so a checkpoint
+    overfit offline on ``--synthetic`` yields real detections here.
+    Used by the trained-model e2e test (model→NMS→tracker on actual
+    signal, no oracle boxes)."""
+
+    def __init__(
+        self,
+        num_frames: int = 40,
+        size: tuple[int, int] = (320, 320),
+        num_objects: int = 3,
+        seed: int = 0,
+    ):
+        self.num_frames = num_frames
+        self.h, self.w = size
+        self.fps = 30.0
+        rng = np.random.default_rng(seed)
+        self._bg_seed = seed + 999
+        self.objs = []
+        for i in range(num_objects):
+            # sizes sit inside the training range (15-40% of imgsz)
+            w = float(rng.uniform(0.18, 0.35) * self.w)
+            h = float(rng.uniform(0.18, 0.35) * self.h)
+            x = float(rng.uniform(0, self.w - w - num_frames * 2.5))
+            y = float(rng.uniform(0, self.h - h - num_frames * 2.0))
+            vx = float(rng.uniform(0.8, 2.5))
+            vy = float(rng.uniform(0.5, 2.0))
+            cls = int(rng.integers(0, 3))
+            self.objs.append((i + 1, x, y, w, h, vx, vy, cls))
+
+    def truth(self, t: int):
+        """[(tid, x1, y1, x2, y2)] ground truth at frame t."""
+        out = []
+        for tid, x, y, w, h, vx, vy, _ in self.objs:
+            x1 = x + vx * t
+            y1 = y + vy * t
+            out.append((tid, x1, y1, x1 + w, y1 + h))
+        return out
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        rng = np.random.default_rng(self._bg_seed)
+        for t in range(self.num_frames):
+            # same stats as synthetic_batch: uniform [0, 0.3) noise bg
+            frame = (
+                rng.uniform(0.0, 0.3, (self.h, self.w, 3)) * 255
+            ).astype(np.uint8)
+            for (tid, *_, cls), (_, x1, y1, x2, y2) in zip(
+                self.objs, self.truth(t)
+            ):
+                shade = int((0.5 + 0.16 * cls) * 255)
+                frame[int(y1) : int(y2), int(x1) : int(x2)] = shade
+            yield frame

@@ -21,8 +21,9 @@ sentinel without competing with anyone — there is no dummy-vs-dummy
 block at all, which is what makes the worst case cheap: price wars
 only ever happen over genuinely contested real columns.
 
-A single auction phase at a moderate ε (no ε-scaling: stale prices
-from coarse phases poison dedicated-object values) gives per-row
+A single ε phase with geometric ESCALATION (ε grows 8x every 16
+rounds — the reverse of classic coarse→fine ε-scaling, whose stale
+coarse prices poison dedicated-object values) gives per-row
 ε-complementary-slackness: a decision can differ from the exact
 optimum only among alternatives within ε of each other (default
 3e-3 of the normalized cost range — far below meaningful tracking
@@ -102,7 +103,7 @@ def solve_assignment(
         assign, owner, price, rounds = state
         return jnp.logical_and(jnp.any(assign < 0), rounds < max_rounds)
 
-    def one_round(assign, owner, price):
+    def one_round(assign, owner, price, eps):
         values = benefit - price[None, :]
         best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
         best_v = jnp.max(values, axis=1)
@@ -134,10 +135,20 @@ def solve_assignment(
 
     def body(state):
         assign, owner, price, rounds = state
+        # ε-escalation: exact ε for the first 16 rounds (every realistic
+        # association resolves well inside that), then ε grows 8x per 16
+        # rounds. Blocks of near-TIED benefits otherwise climb prices at
+        # only ε/round (bid = gap + ε, gap ≈ 0), needing O(range/ε)
+        # rounds — hundreds of Jacobi sweeps on adversarial inputs.
+        # Escalating ε bounds the total at ~16·log8(range/ε) rounds
+        # while leaving uncontested decisions (the common case) exact;
+        # prices only ever increase, so ε-CS holds at the final ε for
+        # the rows settled late (the genuinely ambiguous ones).
+        eps_now = eps * jnp.power(8.0, jnp.floor(rounds.astype(jnp.float32) / 16.0))
         # two Jacobi rounds per loop iteration: halves the while_loop
         # dispatch overhead that dominates small problems on TPU
-        assign, owner, price = one_round(assign, owner, price)
-        assign, owner, price = one_round(assign, owner, price)
+        assign, owner, price = one_round(assign, owner, price, eps_now)
+        assign, owner, price = one_round(assign, owner, price, eps_now)
         return assign, owner, price, rounds + 2
 
     def solve(_):

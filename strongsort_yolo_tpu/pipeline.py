@@ -398,11 +398,17 @@ class Pipeline:
                 )
             return feats
 
+        # GMC off => skip apply_warp at TRACE time: the warp input is
+        # ignored and XLA never emits the per-slot covariance
+        # transform (256 batched 8x8 matmuls/frame — measurable)
+        use_warp = self.gmc.method != "none"
+
         def _track_body(params, track_state, frame_u8, warp):
             """One frame's full track step: detect → (embed) →
             associate. Extras (masks/keypoints) are computed for the
             top ``tracker_max_dets`` rows — the only rows a track's
             ``det_index`` can reference."""
+            warp = warp if use_warp else None
             det, extras = detect(params, frame_u8, extras_k=t_max)
             # association sees the top tracker_max_dets rows (exact:
             # NMS output is confidence-sorted)
@@ -433,17 +439,19 @@ class Pipeline:
             """Offline/throughput mode: T frames in ONE dispatch via
             lax.scan — identical sequential semantics to T track_step
             calls, but host dispatch overhead is amortized T-fold.
-            frames_u8: (T, H, W, 3); warps: (T, 2, 3)."""
+            frames_u8: (T, H, W, 3); warps: (T, 2, 3). Raw detections
+            are not stacked — only track outputs + extras leave the
+            scan (the (T, max_det, ...) det tensors are dead weight)."""
 
             def step(st, inp):
                 frame, warp = inp
                 st, det, out, extras = _track_body(params, st, frame, warp)
-                return st, (det, out, extras)
+                return st, (out, extras)
 
-            track_state, (dets, outs, extras) = jax.lax.scan(
+            track_state, (outs, extras) = jax.lax.scan(
                 step, track_state, (frames_u8, warps)
             )
-            return track_state, dets, outs, extras
+            return track_state, outs, extras
 
         # batched multi-stream step: vmap the SAME body over a leading
         # stream axis (params broadcast) — per-stream GMC warps, ReID
@@ -546,7 +554,7 @@ class Pipeline:
         src_hw = frames_bgr[0].shape[:2]
         steps = self._get_step(src_hw)
         warps = np.stack([self.gmc.apply(f) for f in frames_bgr])
-        self.track_state, dets, outs, extras = steps.track_chunk(
+        self.track_state, outs, extras = steps.track_chunk(
             self.params,
             self.track_state,
             jnp.asarray(np.asarray(frames_bgr)),

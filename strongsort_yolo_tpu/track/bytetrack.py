@@ -50,8 +50,17 @@ from strongsort_yolo_tpu.track.state import (
 @dataclasses.dataclass(frozen=True)
 class ByteTrackConfig:
     """Tracker config — key set mirrors ultralytics cfg/trackers/*.yaml
-    (SURVEY.md D13); defaults are the botsort.yaml values of the
-    reference era."""
+    (SURVEY.md D13).
+
+    Threshold provenance: the reference snapshot (2024-12-23) pulls in
+    ultralytics 8.3.x, whose cfg/trackers/botsort.yaml at that date
+    reads track_high_thresh 0.25 / track_low_thresh 0.1 /
+    new_track_thresh 0.25 / track_buffer 30 / match_thresh 0.8 /
+    fuse_score True / gmc_method sparseOptFlow / proximity_thresh 0.5 /
+    appearance_thresh 0.25 / with_reid False — these are the defaults
+    below. (The ORIGINAL 8.0-era yaml used 0.5/0.1/0.6; ultralytics
+    lowered high/new to 0.25 during 2024. SURVEY.md D9 cites the
+    8.0-era values; this pin supersedes it for ID parity.)"""
 
     tracker_type: str = "botsort"  # "bytetrack" | "botsort"
     track_high_thresh: float = 0.25

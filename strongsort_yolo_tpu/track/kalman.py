@@ -148,6 +148,59 @@ def project(
     return proj_mean, s
 
 
+def _chol4_lanes(s: jnp.ndarray):
+    """Closed-form Cholesky of batched SPD 4x4 matrices.
+
+    Batched tiny LU/Cholesky (``jnp.linalg.solve`` / ``cholesky`` on
+    (K, 4, 4)) lowers to loop-heavy linalg kernels that dominate the
+    tracker step on TPU; the unrolled scalar formulas below are ~16
+    elementwise VPU lanes over K instead. Returns the 10 lower-
+    triangular entries as separate (...,) arrays.
+    """
+    eps = 1e-12
+
+    def rsq(x):  # guarded sqrt: empty slots carry ~0 diagonals
+        return jnp.sqrt(jnp.maximum(x, eps))
+
+    l00 = rsq(s[..., 0, 0])
+    l10 = s[..., 1, 0] / l00
+    l20 = s[..., 2, 0] / l00
+    l30 = s[..., 3, 0] / l00
+    l11 = rsq(s[..., 1, 1] - l10 * l10)
+    l21 = (s[..., 2, 1] - l20 * l10) / l11
+    l31 = (s[..., 3, 1] - l30 * l10) / l11
+    l22 = rsq(s[..., 2, 2] - l20 * l20 - l21 * l21)
+    l32 = (s[..., 3, 2] - l30 * l20 - l31 * l21) / l22
+    l33 = rsq(s[..., 3, 3] - l30 * l30 - l31 * l31 - l32 * l32)
+    return (l00, l10, l20, l30, l11, l21, l31, l22, l32, l33)
+
+
+def _forward_sub4(lanes, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L y = b for batched b (..., 4, N), L from _chol4_lanes."""
+    l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = (
+        lane[..., None] for lane in lanes
+    )
+    y0 = b[..., 0, :] / l00
+    y1 = (b[..., 1, :] - l10 * y0) / l11
+    y2 = (b[..., 2, :] - l20 * y0 - l21 * y1) / l22
+    y3 = (b[..., 3, :] - l30 * y0 - l31 * y1 - l32 * y2) / l33
+    return jnp.stack([y0, y1, y2, y3], axis=-2)
+
+
+def _chol_solve4(lanes, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L Lᵀ) x = b for batched b (..., 4, N)."""
+    l00, l10, l20, l30, l11, l21, l31, l22, l32, l33 = (
+        lane[..., None] for lane in lanes
+    )
+    y = _forward_sub4(lanes, b)
+    y0, y1, y2, y3 = (y[..., i, :] for i in range(4))
+    x3 = y3 / l33
+    x2 = (y2 - l32 * x3) / l22
+    x1 = (y1 - l21 * x2 - l31 * x3) / l11
+    x0 = (y0 - l10 * x1 - l20 * x2 - l30 * x3) / l00
+    return jnp.stack([x0, x1, x2, x3], axis=-2)
+
+
 def update(
     mean: jnp.ndarray,
     cov: jnp.ndarray,
@@ -158,9 +211,10 @@ def update(
 ):
     """KF measurement update. Batched over leading dims."""
     proj_mean, s = project(mean, cov, form, conf=conf)
-    # Kalman gain via solve against S (SPD): K = P Hᵀ S⁻¹
+    # Kalman gain via SPD solve against S: K = P Hᵀ S⁻¹ (closed-form
+    # 4x4 Cholesky — see _chol4_lanes for why not jnp.linalg.solve)
     ph_t = cov[..., :, :4]
-    gain_t = jnp.linalg.solve(s, jnp.swapaxes(ph_t, -1, -2))  # (..., 4, 8)
+    gain_t = _chol_solve4(_chol4_lanes(s), jnp.swapaxes(ph_t, -1, -2))
     innovation = measurement - proj_mean
     new_mean = mean + jnp.einsum(
         "...i,...ij->...j", innovation, gain_t, precision=_HI
@@ -190,11 +244,15 @@ def gating_distance(
     if only_position:
         d = d[..., :2]
         s = s[..., :2, :2]
-    chol = jnp.linalg.cholesky(s)  # (K, 4, 4)
+        l00 = jnp.sqrt(jnp.maximum(s[..., 0, 0], 1e-12))
+        l10 = s[..., 1, 0] / l00
+        l11 = jnp.sqrt(jnp.maximum(s[..., 1, 1] - l10 * l10, 1e-12))
+        dt = jnp.swapaxes(d, -1, -2)  # (K, 2, N)
+        z0 = dt[..., 0, :] / l00[..., None]
+        z1 = (dt[..., 1, :] - l10[..., None] * z0) / l11[..., None]
+        return z0**2 + z1**2
     # z solves L z = dᵀ for all N measurements of each track at once
-    z = jax.lax.linalg.triangular_solve(
-        chol, jnp.swapaxes(d, -1, -2), left_side=True, lower=True
-    )  # (K, 4, N)
+    z = _forward_sub4(_chol4_lanes(s), jnp.swapaxes(d, -1, -2))
     return jnp.sum(z**2, axis=-2)
 
 

@@ -19,11 +19,13 @@ import os
 
 
 class LabelWriter:
-    def __init__(self, path: str, *, compat: bool = False):
+    def __init__(self, path: str, *, compat: bool = False, append: bool = False):
+        """``append=True`` keeps existing lines (checkpoint/resume —
+        SURVEY.md §5.4); default truncates per run unless ``compat``."""
         self.path = path
         self.compat = compat
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        if not compat and os.path.exists(path):
+        if not compat and not append and os.path.exists(path):
             os.remove(path)
         self._fh = open(path, "a")
 

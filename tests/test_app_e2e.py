@@ -147,3 +147,82 @@ def test_count_without_track_prints_hint(capsys):
     stats = process_video(cfg, src, "s", pipe)
     assert stats.frames == 0
     assert "count works only when objects are tracking" in capsys.readouterr().out
+
+
+class TestResumeAndEvents:
+    """SURVEY.md §5.4/§5.5 app integration: kill a stream mid-video,
+    resume from the checkpoint, track ids must continue; event log
+    records the lifecycle."""
+
+    BASE = dict(
+        track=True, weights="yolov8n", imgsz=160, max_det=16, half=False,
+        tracker="bytetrack.yaml",  # no GMC: resumed warps are bit-equal
+    )
+
+    def _labels(self, stats):
+        with open(stats.labels_file) as f:
+            return f.read()
+
+    def test_sequential_resume_keeps_ids(self, tmp_path):
+        from strongsort_yolo_tpu.app import AppConfig, run
+
+        def src():
+            return SyntheticSource(num_frames=6, size=(240, 320), num_objects=2)
+
+        # uninterrupted oracle
+        cfg_full = AppConfig(
+            output_dir=str(tmp_path / "full"), multi_mode="sequential",
+            **self.BASE,
+        )
+        full = run(cfg_full, sources=[src()])[0]
+
+        # "crash" after frame 3 (checkpoint every frame), then resume
+        out = str(tmp_path / "resumed")
+        cfg_a = AppConfig(
+            output_dir=out, multi_mode="sequential", max_frames=3,
+            checkpoint_every=1, **self.BASE,
+        )
+        a = run(cfg_a, sources=[src()])[0]
+        assert a.frames == 3
+        cfg_b = AppConfig(
+            output_dir=out, multi_mode="sequential", resume=True,
+            log_events=str(tmp_path / "events.jsonl"), **self.BASE,
+        )
+        b = run(cfg_b, sources=[src()])[0]
+        assert b.frames == 6  # absolute position, frames 4-6 processed
+        assert self._labels(b) == self._labels(full)
+
+        import json
+
+        events = [
+            json.loads(line)
+            for line in open(str(tmp_path / "events.jsonl"))
+        ]
+        kinds = [e["event"] for e in events]
+        assert "resume" in kinds and "stream_start" in kinds
+        assert kinds[-1] == "stream_end"
+        resume_ev = next(e for e in events if e["event"] == "resume")
+        assert resume_ev["frame_id"] == 3
+
+    def test_batched_resume_keeps_ids(self, tmp_path):
+        from strongsort_yolo_tpu.app import AppConfig, run
+
+        def srcs():
+            return [
+                SyntheticSource(num_frames=6, size=(240, 320), num_objects=2, seed=s)
+                for s in range(2)
+            ]
+
+        cfg_full = AppConfig(output_dir=str(tmp_path / "full"), **self.BASE)
+        full = run(cfg_full, sources=srcs())
+
+        out = str(tmp_path / "resumed")
+        cfg_a = AppConfig(
+            output_dir=out, max_frames=3, checkpoint_every=1, **self.BASE
+        )
+        run(cfg_a, sources=srcs())
+        cfg_b = AppConfig(output_dir=out, resume=True, **self.BASE)
+        resumed = run(cfg_b, sources=srcs())
+        for f, r in zip(full, resumed):
+            assert r.frames == 6
+            assert self._labels(r) == self._labels(f)
