@@ -136,8 +136,16 @@ def detection_loss(
             [anchor_px - lt * strides, anchor_px + rb * strides], axis=-1
         )
         pred_scores = jax.nn.sigmoid(cls_logits)
-        assigned, fg, t_scores = _assign(
-            pred_scores, pred_boxes, anchor_px, gt_boxes, gt_cls, gt_valid
+        # The assigner is a TARGET builder — no gradients flow through
+        # it (ultralytics runs TAL under no_grad). Detaching also kills
+        # the NaN path: align = score**0.5 has an infinite gradient at
+        # score == 0 (sigmoid underflow), which poisoned training after
+        # a few steps.
+        assigned, fg, t_scores = jax.tree.map(
+            jax.lax.stop_gradient,
+            _assign(
+                pred_scores, pred_boxes, anchor_px, gt_boxes, gt_cls, gt_valid
+            ),
         )
         t_sum = jnp.maximum(jnp.sum(t_scores), 1.0)
 
