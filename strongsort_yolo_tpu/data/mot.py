@@ -30,6 +30,7 @@ class MotSequence:
         self.width = self.height = None
         self.img_dir = os.path.join(seq_dir, "img1")
         self.ext = ".jpg"
+        self.seq_length = 0
         if os.path.exists(ini):
             cp = configparser.ConfigParser()
             cp.read(ini)
@@ -40,13 +41,16 @@ class MotSequence:
             self.height = int(s.get("imHeight", 0)) or None
             self.img_dir = os.path.join(seq_dir, s.get("imDir", "img1"))
             self.ext = s.get("imExt", ".jpg")
+            self.seq_length = int(s.get("seqLength", 0))
         frames = sorted(
             f for f in os.listdir(self.img_dir) if f.endswith(self.ext)
         ) if os.path.isdir(self.img_dir) else []
         self.frame_files = [os.path.join(self.img_dir, f) for f in frames]
 
     def __len__(self):
-        return len(self.frame_files)
+        # det-only fixtures (public protocol) carry no img1/ frames —
+        # seqinfo.ini seqLength is the authoritative count then
+        return len(self.frame_files) or self.seq_length
 
     def frames(self):
         import cv2
