@@ -95,18 +95,25 @@ def _to_xyxy(mean4: jnp.ndarray, form: str) -> jnp.ndarray:
 
 def apply_warp(state: TrackState, warp: jnp.ndarray, form: str) -> TrackState:
     """Apply a host-computed GMC affine warp (2, 3) to all track means
-    (BoT-SORT multi_gmc; SURVEY.md D10/H5)."""
+    (SURVEY.md D10/H5).
+
+    XYWH (BoT-SORT): exact ultralytics ``STrack.multi_gmc`` semantics —
+    R8x8 = kron(I4, R) hits every state pair (position, size, and both
+    velocity pairs), then the translation is added to the position;
+    covariance gets the full R8x8 congruence. XYAH (StrongSORT/ECC):
+    position-only transform (aspect is rotation-invariant; the
+    DeepSORT-family ECC papers warp centroids)."""
     hi = jax.lax.Precision.HIGHEST
     r = warp[:, :2]  # (2, 2)
     t = warp[:, 2]  # (2,)
-    xy = jnp.matmul(state.mean[:, :2], r.T, precision=hi) + t[None, :]
     if form == kalman.XYWH:
-        scale = jnp.sqrt(jnp.abs(jnp.linalg.det(r)))
-        wh = state.mean[:, 2:4] * scale
+        r8 = jnp.kron(jnp.eye(4), r)  # (8, 8)
+        mean = jnp.matmul(state.mean, r8.T, precision=hi)
+        mean = mean.at[:, :2].add(t[None, :])
     else:
-        wh = state.mean[:, 2:4]
-    mean = jnp.concatenate([xy, wh, state.mean[:, 4:]], axis=1)
-    r8 = jnp.eye(8).at[:2, :2].set(r)
+        xy = jnp.matmul(state.mean[:, :2], r.T, precision=hi) + t[None, :]
+        mean = jnp.concatenate([xy, state.mean[:, 2:]], axis=1)
+        r8 = jnp.eye(8).at[:2, :2].set(r)
     cov = jnp.matmul(
         jnp.matmul(r8, state.cov, precision=hi), r8.T, precision=hi
     )

@@ -62,15 +62,20 @@ class SparseOptFlowGMC:
     def _sparse_flow(self, prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
         import cv2
 
+        # feature params = ultralytics trackers/utils/gmc.py
+        # sparseOptFlow settings verbatim (maxCorners 1000, quality
+        # 0.01, minDistance 1, blockSize 3, no Harris; downscale=2 set
+        # in __init__); the >4-point floor matches their rigid-matrix
+        # guard
         pts = cv2.goodFeaturesToTrack(
             prev, maxCorners=1000, qualityLevel=0.01, minDistance=1,
             blockSize=3, useHarrisDetector=False, k=0.04,
         )
-        if pts is None or len(pts) < 8:
+        if pts is None or len(pts) <= 4:
             return IDENTITY_WARP
         nxt, status, _ = cv2.calcOpticalFlowPyrLK(prev, cur, pts, None)
         ok = status.reshape(-1).astype(bool)
-        if ok.sum() < 8:
+        if ok.sum() <= 4:
             return IDENTITY_WARP
         a, _ = cv2.estimateAffinePartial2D(
             pts[ok], nxt[ok], method=cv2.RANSAC

@@ -157,3 +157,65 @@ def test_warp_applied_to_tracks():
     )
     # empty slots untouched
     np.testing.assert_allclose(np.asarray(out.mean[1]), 0.0)
+
+
+def test_apply_warp_matches_ultralytics_multi_gmc():
+    """XYWH warp application reproduces STrack.multi_gmc's math:
+    R8x8 = kron(I4, R) on mean and covariance, translation on
+    position — verified against a NumPy oracle."""
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.track.bytetrack import apply_warp
+    from strongsort_yolo_tpu.track.state import init_track_state, STATUS_TRACKED
+
+    rng = np.random.default_rng(3)
+    k = 5
+    st = init_track_state(k)
+    mean = rng.normal(0, 50, (k, 8)).astype(np.float32)
+    cov = rng.normal(0, 1, (k, 8, 8)).astype(np.float32)
+    cov = cov @ cov.transpose(0, 2, 1)  # SPD-ish
+    st = st._replace(
+        mean=jnp.asarray(mean), cov=jnp.asarray(cov),
+        status=st.status.at[:].set(STATUS_TRACKED),
+    )
+    theta = 0.03
+    warp = np.array(
+        [[np.cos(theta), -np.sin(theta), 12.0],
+         [np.sin(theta), np.cos(theta), -7.0]], np.float32,
+    )
+    out = apply_warp(st, jnp.asarray(warp), "xywh")
+
+    # NumPy oracle: ultralytics STrack.multi_gmc
+    r = warp[:2, :2]
+    r8 = np.kron(np.eye(4, dtype=np.float32), r)
+    t = warp[:2, 2]
+    for i in range(k):
+        m = r8 @ mean[i]
+        m[:2] += t
+        c = r8 @ cov[i] @ r8.T
+        np.testing.assert_allclose(np.asarray(out.mean[i]), m, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.cov[i]), c, rtol=1e-4, atol=1e-3)
+
+
+def test_overlapped_gmc_equals_serial(frame):
+    """One-tick overlapped dispatch with sparseOptFlow GMC produces
+    the same results as the serial path (warps are computed in frame
+    order either way)."""
+    frames = [np.roll(frame, 5 * t, axis=1) for t in range(4)]
+    pa = mkpipe("yolov8n", seed=9, tracker="botsort.yaml")
+    pb = Pipeline(
+        DetectorConfig(weights="yolov8n", imgsz=160, half=False, max_det=16),
+        tracker="botsort.yaml", track_slots=16, seed=9, params=pa.params,
+    )
+    serial = [pa.track(f) for f in frames]
+    handles, overlapped = [], []
+    for f in frames:
+        h = pb.track_async(f)
+        if handles:
+            overlapped.append(pb.materialize(handles.pop()))
+        handles.append(h)
+    overlapped.append(pb.materialize(handles.pop()))
+    for a, b in zip(serial, overlapped):
+        np.testing.assert_allclose(a.boxes.xyxy, b.boxes.xyxy, atol=1e-4)
+        if a.boxes.id is not None:
+            np.testing.assert_array_equal(a.boxes.id, b.boxes.id)
