@@ -132,3 +132,48 @@ def test_low_conf_detections_ignored():
     _, outs = run(frames)
     for out in outs:
         assert active(out) == {}
+
+
+def test_crop_and_resize_matches_bilinear_oracle():
+    """MXU matmul crops == 4-tap bilinear sampling (numpy oracle) at
+    downscale=1; tolerance covers default-precision multiplies."""
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.ops.crops import crop_and_resize
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (120, 160, 3)).astype(np.float32)
+    boxes = np.array(
+        [[20, 10, 84, 90], [0, 0, 160, 120], [50.5, 33.3, 70.2, 110.9]],
+        np.float32,
+    )
+
+    def oracle(img, box, oh, ow):
+        x1, y1, x2, y2 = box
+        out = np.zeros((oh, ow, 3), np.float32)
+        h, w = img.shape[:2]
+        for r in range(oh):
+            gy = y1 + (r + 0.5) / oh * max(y2 - y1, 1e-3) - 0.5
+            y0 = np.clip(np.floor(gy), 0, h - 1)
+            wy = np.clip(gy - y0, 0, 1)
+            y0i, y1i = int(y0), int(min(y0 + 1, h - 1))
+            for c in range(ow):
+                gx = x1 + (c + 0.5) / ow * max(x2 - x1, 1e-3) - 0.5
+                x0 = np.clip(np.floor(gx), 0, w - 1)
+                wx = np.clip(gx - x0, 0, 1)
+                x0i, x1i = int(x0), int(min(x0 + 1, w - 1))
+                top = img[y0i, x0i] * (1 - wx) + img[y0i, x1i] * wx
+                bot = img[y1i, x0i] * (1 - wx) + img[y1i, x1i] * wx
+                out[r, c] = top * (1 - wy) + bot * wy
+        return out
+
+    got = np.asarray(
+        crop_and_resize(jnp.asarray(img), jnp.asarray(boxes), (32, 16), downscale=1)
+    )
+    for i, b in enumerate(boxes):
+        np.testing.assert_allclose(got[i], oracle(img, b, 32, 16), atol=1e-2)
+    # degenerate box: finite output
+    z = crop_and_resize(
+        jnp.asarray(img), jnp.asarray(np.zeros((2, 4), np.float32)), (32, 16)
+    )
+    assert np.isfinite(np.asarray(z)).all()
