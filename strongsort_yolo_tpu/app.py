@@ -103,9 +103,18 @@ def _stream_name(source: str, used: set[str]) -> str:
 
 
 def open_source(source):
-    if isinstance(source, SyntheticSource):
+    if not isinstance(source, str):  # synthetic test/bench sources
         return source, source.w, source.h
-    reader = VideoReader(source)
+    if os.path.exists(source):
+        # file path: prefer the native ffmpeg decode shim (SURVEY.md
+        # N1/N7 — C decode on the reader thread, GIL dropped); frames
+        # are bit-identical to cv2.videoio (test_native_decoder)
+        from strongsort_yolo_tpu.media.native_decoder import NativeVideoReader
+
+        reader = NativeVideoReader(source)
+        if reader.ok:
+            return reader, reader.width, reader.height
+    reader = VideoReader(source)  # cameras + cv2 fallback
     if not reader.ok:
         print(f"Error: Could not open video file {source}.")
         return None, 0, 0
