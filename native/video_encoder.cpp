@@ -1,0 +1,167 @@
+// Native video encode shim: BGR24 frames -> mp4 (MPEG-4 part 2).
+//
+// SURVEY.md N1: the reference writes output/{name}_output.mp4 with
+// cv2.VideoWriter(fourcc "mp4v", 15 fps) at
+// /root/reference/yolo_multi_model.py:256-260. This shim produces the
+// same container+codec straight through libav (avformat mux + mpeg4
+// encode + swscale BGR24->YUV420P), so the media layer owns encode
+// natively; the Python binding drives it from the writer path with the
+// GIL dropped.
+//
+// C ABI:
+//   void* ve_open(const char* path, int w, int h, double fps)
+//   int   ve_write(void*, const uint8_t* bgr)   // 0 ok, <0 err
+//   int   ve_close(void*)                       // flush + trailer
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+
+namespace {
+
+struct Encoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  AVStream* stream = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  int width = 0;
+  int height = 0;
+  int64_t next_pts = 0;
+  bool header_written = false;
+};
+
+void destroy(Encoder* e) {
+  if (!e) return;
+  if (e->sws) sws_freeContext(e->sws);
+  if (e->frame) av_frame_free(&e->frame);
+  if (e->pkt) av_packet_free(&e->pkt);
+  if (e->codec) avcodec_free_context(&e->codec);
+  if (e->fmt) {
+    if (e->fmt->pb) avio_closep(&e->fmt->pb);
+    avformat_free_context(e->fmt);
+  }
+  delete e;
+}
+
+int drain(Encoder* e, bool flush) {
+  if (flush) avcodec_send_frame(e->codec, nullptr);
+  for (;;) {
+    int r = avcodec_receive_packet(e->codec, e->pkt);
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+    if (r < 0) return -10;
+    // mp4 samples need a duration or decoders drop the final frame
+    if (e->pkt->duration == 0) e->pkt->duration = 1;
+    av_packet_rescale_ts(e->pkt, e->codec->time_base, e->stream->time_base);
+    e->pkt->stream_index = e->stream->index;
+    if (av_interleaved_write_frame(e->fmt, e->pkt) < 0) return -11;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ve_open(const char* path, int w, int h, double fps) {
+  if (w <= 0 || h <= 0 || fps <= 0) return nullptr;
+  Encoder* e = new Encoder();
+  e->width = w;
+  e->height = h;
+  if (avformat_alloc_output_context2(&e->fmt, nullptr, "mp4", path) < 0 ||
+      !e->fmt) {
+    destroy(e);
+    return nullptr;
+  }
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!enc) {
+    destroy(e);
+    return nullptr;
+  }
+  e->stream = avformat_new_stream(e->fmt, nullptr);
+  e->codec = avcodec_alloc_context3(enc);
+  if (!e->stream || !e->codec) {
+    destroy(e);
+    return nullptr;
+  }
+  // fps as a rational (15 fps -> 1/15; 29.97 handled via 1000 base)
+  AVRational tb = (fps == static_cast<int>(fps))
+                      ? AVRational{1, static_cast<int>(fps)}
+                      : AVRational{1000, static_cast<int>(fps * 1000)};
+  e->codec->codec_id = AV_CODEC_ID_MPEG4;
+  e->codec->width = w;
+  e->codec->height = h;
+  e->codec->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->codec->time_base = tb;
+  e->codec->framerate = AVRational{tb.den, tb.num};
+  e->codec->gop_size = 12;
+  // quality-targeted like cv2's default mp4v writer
+  e->codec->bit_rate = static_cast<int64_t>(w) * h * fps * 0.25;
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(e->codec, enc, nullptr) < 0 ||
+      avcodec_parameters_from_context(e->stream->codecpar, e->codec) < 0) {
+    destroy(e);
+    return nullptr;
+  }
+  e->stream->time_base = tb;
+  if (avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE) < 0 ||
+      avformat_write_header(e->fmt, nullptr) < 0) {
+    destroy(e);
+    return nullptr;
+  }
+  e->header_written = true;
+  e->frame = av_frame_alloc();
+  e->pkt = av_packet_alloc();
+  if (!e->frame || !e->pkt) {
+    destroy(e);
+    return nullptr;
+  }
+  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->width = w;
+  e->frame->height = h;
+  if (av_frame_get_buffer(e->frame, 0) < 0) {
+    destroy(e);
+    return nullptr;
+  }
+  e->sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, AV_PIX_FMT_YUV420P,
+                          SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!e->sws) {
+    destroy(e);
+    return nullptr;
+  }
+  return e;
+}
+
+int ve_write(void* h, const uint8_t* bgr) {
+  Encoder* e = static_cast<Encoder*>(h);
+  if (!e) return -1;
+  if (av_frame_make_writable(e->frame) < 0) return -2;
+  const uint8_t* src[1] = {bgr};
+  int src_stride[1] = {3 * e->width};
+  sws_scale(e->sws, src, src_stride, 0, e->height, e->frame->data,
+            e->frame->linesize);
+  e->frame->pts = e->next_pts++;
+  if (avcodec_send_frame(e->codec, e->frame) < 0) return -3;
+  return drain(e, false);
+}
+
+int ve_close(void* h) {
+  Encoder* e = static_cast<Encoder*>(h);
+  if (!e) return -1;
+  int r = 0;
+  if (e->header_written) {
+    r = drain(e, true);
+    if (av_write_trailer(e->fmt) < 0 && r == 0) r = -12;
+  }
+  destroy(e);
+  return r;
+}
+
+}  // extern "C"

@@ -183,7 +183,20 @@ class _StreamCtx:
         if cfg.save:
             os.makedirs(cfg.output_dir, exist_ok=True)
             out_path = os.path.join(cfg.output_dir, f"{name}_output.mp4")
-            self.writer = VideoWriter(out_path, width, height, cfg.out_fps)
+            # native libav mp4 encoder (same mp4v codec the reference's
+            # cv2 writer produces, yolo_multi_model.py:256-260); cv2
+            # fallback when libav is absent
+            from strongsort_yolo_tpu.media.native_decoder import (
+                NativeVideoWriter, encoder_available,
+            )
+
+            self.writer = (
+                NativeVideoWriter(out_path, width, height, cfg.out_fps)
+                if encoder_available()
+                else None
+            )
+            if self.writer is None or not self.writer.ok:
+                self.writer = VideoWriter(out_path, width, height, cfg.out_fps)
             self.stats.output_video = out_path
             labels_path = os.path.join(cfg.output_dir, f"{name}_labels.txt")
             self.label_writer = LabelWriter(

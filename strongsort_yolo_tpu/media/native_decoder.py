@@ -120,3 +120,84 @@ class NativeVideoReader:
             self.release()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Encoder (native/video_encoder.cpp — mp4/mpeg4, the reference's
+# cv2 "mp4v" output format, yolo_multi_model.py:256-260)
+# ---------------------------------------------------------------------------
+
+_ENC_PATH = os.path.join(_NATIVE_DIR, "libvideo_encoder.so")
+_enc_lib = None
+_enc_tried = False
+
+
+def _load_enc():
+    global _enc_lib, _enc_tried
+    if _enc_lib is not None or _enc_tried:
+        return _enc_lib
+    _enc_tried = True
+    if not os.path.exists(_ENC_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s", "libvideo_encoder.so"], cwd=_NATIVE_DIR,
+                check=True, capture_output=True, timeout=300,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_ENC_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_ENC_PATH)
+    except OSError:
+        return None
+    lib.ve_open.restype = ctypes.c_void_p
+    lib.ve_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+    ]
+    lib.ve_write.restype = ctypes.c_int
+    lib.ve_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ve_close.restype = ctypes.c_int
+    lib.ve_close.argtypes = [ctypes.c_void_p]
+    _enc_lib = lib
+    return _enc_lib
+
+
+def encoder_available() -> bool:
+    return _load_enc() is not None
+
+
+class NativeVideoWriter:
+    """mp4 (MPEG-4) writer via the C encode shim; mirrors
+    media/video.VideoWriter's surface."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 15.0):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._lib = _load_enc()
+        self._h = None
+        self.width, self.height = width, height
+        if self._lib is not None:
+            self._h = self._lib.ve_open(
+                path.encode(), int(width), int(height), float(fps)
+            )
+
+    @property
+    def ok(self) -> bool:
+        return self._h is not None
+
+    def write(self, frame: np.ndarray):
+        if self._h is None:
+            return
+        frame = np.ascontiguousarray(frame, np.uint8)
+        self._lib.ve_write(self._h, frame.ctypes.data_as(ctypes.c_void_p))
+
+    def release(self):
+        if self._h is not None:
+            self._lib.ve_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass

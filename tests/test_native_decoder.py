@@ -55,3 +55,47 @@ def test_app_uses_native_decoder_for_files(mp4, tmp_path):
     )
     stats = run(cfg, sources=[mp4])
     assert stats[0].frames == 4 and stats[0].failed is None
+
+
+@pytest.mark.skipif(not available(), reason="libav shim not built")
+def test_native_encoder_roundtrip(tmp_path):
+    from strongsort_yolo_tpu.media.native_decoder import (
+        NativeVideoWriter, encoder_available,
+    )
+
+    if not encoder_available():
+        pytest.skip("encoder shim not built")
+    path = str(tmp_path / "out.mp4")
+    w = NativeVideoWriter(path, 320, 240, 15.0)
+    assert w.ok
+    frames = []
+    for t in range(10):
+        f = np.full((240, 320, 3), 30, np.uint8)
+        f[40:120, 40 + 10 * t : 140 + 10 * t] = (0, 200, 255)
+        frames.append(f)
+        w.write(f)
+    w.release()
+    r = NativeVideoReader(path)
+    got = list(r)
+    r.release()
+    assert len(got) == 10  # no dropped final frame (mp4 sample duration)
+    err = np.mean(
+        [np.abs(a.astype(int) - b.astype(int)).mean() for a, b in zip(frames, got)]
+    )
+    assert err < 6.0  # lossy mpeg4 but recognizable
+
+
+@pytest.mark.skipif(not available(), reason="libav shim not built")
+def test_app_video_output_via_native_encoder(tmp_path):
+    from strongsort_yolo_tpu.app import AppConfig, run
+
+    src = SyntheticSource(num_frames=5, size=(240, 320), num_objects=2)
+    cfg = AppConfig(
+        track=True, weights="yolov8n", imgsz=160, max_det=16, half=False,
+        output_dir=str(tmp_path),
+    )
+    stats = run(cfg, sources=[src])
+    out = stats[0].output_video
+    r = NativeVideoReader(out)
+    assert r.ok and len(list(r)) == 5
+    r.release()
