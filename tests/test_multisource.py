@@ -145,3 +145,29 @@ def test_track_async_equals_track(pipe):
         np.testing.assert_allclose(a.boxes.xyxy, b.boxes.xyxy, atol=1e-4)
         if a.boxes.id is not None:
             np.testing.assert_array_equal(a.boxes.id, b.boxes.id)
+
+
+def test_batched_pipeline_carries_seg_extras():
+    """Batched multi-stream mode keeps masks identical to sequential
+    per-stream runs (full reference capability in the concurrent
+    path)."""
+    rng = np.random.default_rng(4)
+    S, T = 2, 2
+    frames = rng.integers(0, 255, (S, T, 240, 320, 3), dtype=np.uint8)
+    frames[:, :, 60:140, 80:180] = (40, 180, 220)
+    pipe = Pipeline(
+        DetectorConfig(weights="yolov8n-seg", imgsz=160, half=False, max_det=16),
+        tracker="bytetrack.yaml", track_slots=16, tracker_max_dets=16,
+    )
+    seq = []
+    for s in range(S):
+        pipe.reset()
+        seq.append([pipe.track(frames[s, t]) for t in range(T)])
+    bp = pipe.track_batch_prepare(S, (240, 320))
+    bat = [bp.step(frames[:, t]) for t in range(T)]
+    for s in range(S):
+        for t in range(T):
+            a, b = seq[s][t], bat[t][s]
+            assert (a.masks is None) == (b.masks is None)
+            if a.masks is not None and len(a.masks):
+                np.testing.assert_allclose(a.masks.data, b.masks.data, atol=1e-4)
