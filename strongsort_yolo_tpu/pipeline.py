@@ -572,11 +572,14 @@ class Pipeline:
             for k in range(t)
         ]
 
-    def track_batch_prepare(self, num_streams: int, src_hw: tuple[int, int]):
+    def track_batch_prepare(
+        self, num_streams: int, src_hw: tuple[int, int], *, mesh=None
+    ):
         """-> BatchedPipeline stepping ``num_streams`` same-resolution
         streams through ONE device program (the reference forks one OS
-        process per source instead — yolo_multi_model.py:353-354)."""
-        return BatchedPipeline(self, num_streams, src_hw)
+        process per source instead — yolo_multi_model.py:353-354).
+        Pass a ('dp', ...) Mesh to shard the stream axis over chips."""
+        return BatchedPipeline(self, num_streams, src_hw, mesh=mesh)
 
     def _mk_kpts(self, extras, det_rows):
         if "keypoints" not in extras:
@@ -623,10 +626,26 @@ class BatchedPipeline:
     tests/test_parallel.py).
     """
 
-    def __init__(self, pipeline: Pipeline, num_streams: int, src_hw):
+    def __init__(self, pipeline: Pipeline, num_streams: int, src_hw, *, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'dp' axis — streams
+        shard over it (each chip owns a contiguous block of streams;
+        the batch is collective-free since streams are independent).
+        ``num_streams`` must divide by the dp size."""
         self.pipeline = pipeline
         self.num_streams = num_streams
         self.src_hw = tuple(src_hw)
+        self._stream_sharding = None
+        if mesh is not None:
+            # placement must precede _get_step: the jitted body closes
+            # over reid_params at trace time
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stream_sh = NamedSharding(mesh, P("dp"))
+            rep = NamedSharding(mesh, P())
+            pipeline.params = jax.device_put(pipeline.params, rep)
+            if pipeline.reid_params is not None:
+                pipeline.reid_params = jax.device_put(pipeline.reid_params, rep)
+            self._stream_sharding = stream_sh
         self._steps = pipeline._get_step(self.src_hw)
         self.gmcs = [make_gmc(pipeline.gmc.method) for _ in range(num_streams)]
         self.states = jax.vmap(
@@ -634,6 +653,8 @@ class BatchedPipeline:
                 pipeline.track_slots, feat_dim=pipeline.feat_dim
             )
         )(jnp.arange(num_streams))
+        if self._stream_sharding is not None:
+            self.states = jax.device_put(self.states, self._stream_sharding)
 
     def reset_stream(self, i: int) -> None:
         """Reinitialize one stream's tracker + GMC state in place."""
@@ -660,8 +681,13 @@ class BatchedPipeline:
         if warps is None:
             warps = self.compute_warps(frames)
         p = self.pipeline
+        frames = jnp.asarray(frames)
+        warps = jnp.asarray(warps)
+        if self._stream_sharding is not None:
+            frames = jax.device_put(frames, self._stream_sharding)
+            warps = jax.device_put(warps, self._stream_sharding)
         self.states, det, out, extras = self._steps.batch_step(
-            p.params, self.states, jnp.asarray(frames), jnp.asarray(warps)
+            p.params, self.states, frames, warps
         )
         return (out, extras)
 

@@ -83,3 +83,41 @@ def test_stream_states_independent():
     outs = jax.tree.map(np.asarray, outs)
     assert outs.active[0].sum() == 1
     assert outs.active[1].sum() == 0
+
+
+def test_batched_pipeline_on_mesh_equals_unsharded():
+    """The app's real multi-source path (pipeline.BatchedPipeline)
+    sharded over a 4-device dp mesh: identical outputs to the
+    unsharded batch, streams split across devices."""
+    from strongsort_yolo_tpu.config import DetectorConfig
+    from strongsort_yolo_tpu.pipeline import Pipeline
+
+    rng = np.random.default_rng(0)
+    S, T = 4, 3
+    frames = rng.integers(0, 255, (S, T, 240, 320, 3), dtype=np.uint8)
+    for s in range(S):
+        frames[s, :, 40 + 20 * s : 120 + 20 * s, 60:180] = (40, 180, 220)
+
+    pipe = Pipeline(
+        DetectorConfig(weights="yolov8n", imgsz=160, half=False, max_det=16),
+        tracker="bytetrack.yaml", track_slots=16, tracker_max_dets=16,
+    )
+    plain = pipe.track_batch_prepare(S, (240, 320))
+    ref = [plain.step(frames[:, t]) for t in range(T)]
+
+    mesh = make_mesh(4, tp=1)
+    sharded = pipe.track_batch_prepare(S, (240, 320), mesh=mesh)
+    # streams really split over dp
+    shard_shape = sharded.states.mean.sharding.shard_shape(
+        sharded.states.mean.shape
+    )
+    assert shard_shape[0] == S // 4
+    got = [sharded.step(frames[:, t]) for t in range(T)]
+
+    for t in range(T):
+        for s in range(S):
+            a, b = ref[t][s].boxes, got[t][s].boxes
+            assert len(a) == len(b)
+            np.testing.assert_allclose(a.xyxy, b.xyxy, atol=1e-3)
+            if a.id is not None:
+                np.testing.assert_array_equal(a.id, b.id)
