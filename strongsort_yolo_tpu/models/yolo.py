@@ -168,14 +168,39 @@ def init_backbone(key: jax.Array, cfg: YoloConfig) -> Params:
 
 
 def backbone_apply(
-    cfg: YoloConfig, p: Params, x: jnp.ndarray
+    cfg: YoloConfig, p: Params, x: jnp.ndarray, *, pack: bool = False,
+    packed_prefix: Params | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """NHWC image -> (P3, P4, P5) pyramid features."""
-    x = C.conv_apply(p["stem"], x, stride=2)
-    x = C.conv_apply(p["down1"], x, stride=2)
-    x = _stage_block_apply(cfg, p["stage1"], x, shortcut=True)
-    x = C.conv_apply(p["down2"], x, stride=2)
-    p3 = _stage_block_apply(cfg, p["stage2"], x, shortcut=True)
+    """NHWC image -> (P3, P4, P5) pyramid features.
+
+    pack=True runs the stem..stage2 prefix space-to-depth packed
+    (half spatial, 4x channels, exact weight transform — ops/pack.py):
+    the 160x160/80x80 small-channel stages otherwise starve the MXU
+    and thrash layouts. Requires H and W divisible by 4.
+
+    packed_prefix: precomputed ``pack_backbone_prefix(p)`` — pass it
+    when calling inside a ``lax.scan``/``vmap`` body so the weight
+    transform is hoisted out of the loop (implies pack=True).
+    """
+    if pack or packed_prefix is not None:
+        from strongsort_yolo_tpu.ops.pack import (
+            depth_to_space, pack_backbone_prefix, space_to_depth,
+        )
+
+        pp = packed_prefix if packed_prefix is not None else pack_backbone_prefix(p)
+        y = space_to_depth(x)
+        y = C.conv_apply(pp["stem"], y, stride=2)
+        y = C.conv_apply(pp["down1"], y, stride=2)
+        y = _stage_block_apply(cfg, pp["stage1"], y, shortcut=True)
+        y = C.conv_apply(pp["down2"], y, stride=2)
+        y = _stage_block_apply(cfg, pp["stage2"], y, shortcut=True)
+        p3 = depth_to_space(y)
+    else:
+        x = C.conv_apply(p["stem"], x, stride=2)
+        x = C.conv_apply(p["down1"], x, stride=2)
+        x = _stage_block_apply(cfg, p["stage1"], x, shortcut=True)
+        x = C.conv_apply(p["down2"], x, stride=2)
+        p3 = _stage_block_apply(cfg, p["stage2"], x, shortcut=True)
     x = C.conv_apply(p["down3"], p3, stride=2)
     p4 = _stage_block_apply(cfg, p["stage3"], x, shortcut=True)
     x = C.conv_apply(p["down4"], p4, stride=2)
@@ -352,6 +377,8 @@ def model_apply(
     cfg: YoloConfig,
     *,
     compute_dtype: jnp.dtype = jnp.float32,
+    pack: bool | None = None,
+    packed_prefix: Params | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Full forward. x: (B, H, W, 3) in [0,1], NHWC.
 
@@ -360,9 +387,25 @@ def model_apply(
       + task extras: mask_coef (B, A, nm) & proto (B, Hm, Wm, nm),
         or kpt_raw (B, A, nk).
     A = sum over levels of (H/s * W/s).
+
+    pack: space-to-depth packed prefix (see backbone_apply). Default
+    (None) enables it on accelerator backends whenever the input size
+    allows — the transform is numerically exact (same math, re-indexed
+    weights), but on CPU the 4x-channel convs just cost extra FLOPs.
     """
     x = x.astype(compute_dtype)
-    feats = backbone_apply(cfg, params["backbone"], x)
+    if pack is None:
+        pack = (
+            packed_prefix is not None
+            or (
+                jax.default_backend() != "cpu"
+                and x.shape[-3] % 4 == 0
+                and x.shape[-2] % 4 == 0
+            )
+        )
+    feats = backbone_apply(
+        cfg, params["backbone"], x, pack=pack, packed_prefix=packed_prefix
+    )
     n3, n4, n5 = neck_apply(cfg, params["neck"], feats)
     box_logits, cls_logits = detect_head_apply(params["detect"], (n3, n4, n5))
     out = {

@@ -1,0 +1,176 @@
+"""Space-to-depth packed execution for the high-resolution CNN prefix.
+
+Why this exists (TPU hardware, not reference translation): the early
+YOLO stages run 3x3/1x1 convs at 160x160/80x80 with 16-64 channels.
+On the MXU (128x128 systolic array) such small channel counts leave
+most lanes idle, and XLA falls back to spatially-tiled conv layouts
+with layout-conversion copies around every op — profiling the v8n
+forward at batch 32 showed the 160x160 stage alone running at
+~2 TFLOP/s (<1% of v5e bf16 peak) with ~25% of model time in pure
+`copy` HLOs.
+
+The fix is the classic TPU space-to-depth transform (used by MLPerf
+ResNet TPU submissions): run the prefix at HALF the spatial resolution
+with 4x the channels. Every conv's weights are re-indexed EXACTLY —
+same math, same outputs (up to bf16 summation order) — so pretrained
+checkpoints work unchanged:
+
+    x' [I, J, c*4 + oy*2 + ox] = x[2I + oy, 2J + ox, c]
+
+The (channel-major, position-minor) packing order means channel
+splits/concats of whole feature maps (C2f/C3k2 blocks) map to plain
+splits/concats of packed channels — block code runs unchanged, only
+the conv weights are transformed.
+
+Weight transform (3x3 'same' conv, stride s in {1, 2}): a packed
+output position (py, px) of packed-output pixel (I, J) is original
+pixel (s2I + ... ). Solving the index algebra, the packed conv is
+again a 3x3 'same' conv with stride s over packed tensors, with
+
+    W'[B, Bx, c*4 + oy*2+ox, co*4 + py*2+px] = W[dy, dx, c, co]
+        where dy = 2(B-1) + oy + 1 - s*py   (taken when 0 <= dy <= 2,
+              dx = 2(Bx-1) + ox + 1 - s*px   else the tap is zero)
+
+1x1 convs become block-structured 4Cx4Co pointwise convs (W ⊗ I4 in
+the packing order). Biases/BN vectors repeat 4x per channel.
+
+Everything here is shape-static jnp; the transforms are a few
+microseconds of device work per step on <1 MB weight tensors, so they
+run inside the jitted step and the parameter pytree (porting,
+training, checkpointing) never changes layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from typing import Any
+
+Params = dict[str, Any]
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., H/2, W/2, 4C), channel-major packing:
+    out[..., I, J, c*4 + oy*2 + ox] = x[..., 2I+oy, 2J+ox, c]."""
+    *b, h, w, c = x.shape
+    x = x.reshape(*b, h // 2, 2, w // 2, 2, c)
+    # (..., H/2, W/2, C, oy, ox)
+    nd = x.ndim
+    perm = tuple(range(nd - 5)) + (nd - 5, nd - 3, nd - 1, nd - 4, nd - 2)
+    x = x.transpose(perm)
+    return x.reshape(*b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    *b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(*b, h, w, c, 2, 2)
+    # -> (..., H, oy, W, ox, C)
+    nd = x.ndim
+    perm = tuple(range(nd - 5)) + (nd - 5, nd - 2, nd - 4, nd - 1, nd - 3)
+    x = x.transpose(perm)
+    return x.reshape(*b, h * 2, w * 2, c)
+
+
+def _pack_maps(stride: int) -> np.ndarray:
+    """(3, 2, 2) -> original dy for packed tap B, input sub-pos oy,
+    output sub-pos py; -1 where the tap is zero."""
+    m = np.full((3, 2, 2), -1, np.int64)
+    for B in range(3):
+        for oy in range(2):
+            for py in range(2):
+                dy = 2 * (B - 1) + oy + 1 - stride * py
+                if 0 <= dy <= 2:
+                    m[B, oy, py] = dy
+    return m
+
+
+def pack_conv3_weight(w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """(3, 3, ci, co) -> (3, 3, 4ci, 4co) exact packed-space weights
+    for a 'same'-padded 3x3 conv of stride 1 or 2.
+
+    One gather + mask-multiply over a trace-time-constant index map,
+    so the transform costs ~nothing inside the jitted step."""
+    assert w.shape[0] == 3 and w.shape[1] == 3, w.shape
+    assert stride in (1, 2)
+    ci, co = w.shape[2], w.shape[3]
+    my = _pack_maps(stride)
+    tap = np.zeros((3, 3, 4, 4), np.int64)
+    valid = np.zeros((3, 3, 4, 4), np.float32)
+    for B in range(3):
+        for Bx in range(3):
+            for oy in range(2):
+                for ox in range(2):
+                    for py in range(2):
+                        for px in range(2):
+                            dy, dx = my[B, oy, py], my[Bx, ox, px]
+                            if dy >= 0 and dx >= 0:
+                                tap[B, Bx, oy * 2 + ox, py * 2 + px] = dy * 3 + dx
+                                valid[B, Bx, oy * 2 + ox, py * 2 + px] = 1.0
+    w9 = w.reshape(9, ci, co)
+    g = w9[jnp.asarray(tap)]  # (3, 3, 4, 4, ci, co)
+    g = g * jnp.asarray(valid, w.dtype)[..., None, None]
+    g = g.transpose(0, 1, 4, 2, 5, 3)  # (B, Bx, ci, pi, co, po)
+    return g.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def pack_pointwise_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, ci, co) -> (1, 1, 4ci, 4co): apply W independently at
+    each of the 4 packed positions (W ⊗ I4 in packing order)."""
+    assert w.shape[0] == 1 and w.shape[1] == 1, w.shape
+    ci, co = w.shape[2], w.shape[3]
+    eye = jnp.eye(4, dtype=w.dtype)
+    out = w[0, 0][:, None, :, None] * eye[None, :, None, :]
+    return out.reshape(1, 1, 4 * ci, 4 * co)
+
+
+def pack_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
+    """(co,) bias/BN vector -> (4co,) in packing order (repeat 4x)."""
+    return jnp.repeat(v, 4)
+
+
+def pack_conv_params(p: Params, *, stride: int = 1) -> Params:
+    """Pack one conv param dict (fused 'w'/'b' or conv+BN form)."""
+    w = p["w"]
+    if w.shape[0] == 1:
+        pw = pack_pointwise_weight(w)
+    elif w.shape[0] == 3:
+        pw = pack_conv3_weight(w, stride)
+    else:  # pragma: no cover - no other kernel sizes in the packed prefix
+        raise ValueError(f"cannot pack kernel size {w.shape[0]}")
+    out = {"w": pw}
+    for key in ("b", "bn_scale", "bn_bias", "bn_mean", "bn_var"):
+        if key in p:
+            out[key] = pack_channel_vector(p[key])
+    return out
+
+
+def _pack_block(node: Any, *, stride_keys: dict[int, int] | None = None) -> Any:
+    """Recursively pack every conv dict in a block pytree (all convs in
+    CSP blocks are stride 1)."""
+    if isinstance(node, dict):
+        if "w" in node and node["w"].ndim == 4:
+            return pack_conv_params(node, stride=1)
+        return {k: _pack_block(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_pack_block(v) for v in node]
+    return node
+
+
+def pack_backbone_prefix(bb: Params) -> Params:
+    """Pack the stem..stage2 prefix of a v8/v11 backbone param dict.
+
+    Returns packed copies of stem/down1/stage1/down2/stage2 — the
+    layers that run at 160x160/80x80 original resolution where the
+    MXU-starved shapes live. (down/stem convs are stride 2; every conv
+    inside the CSP stage blocks is stride 1.)
+    """
+    return {
+        "stem": pack_conv_params(bb["stem"], stride=2),
+        "down1": pack_conv_params(bb["down1"], stride=2),
+        "stage1": _pack_block(bb["stage1"]),
+        "down2": pack_conv_params(bb["down2"], stride=2),
+        "stage2": _pack_block(bb["stage2"]),
+    }

@@ -308,7 +308,28 @@ class Pipeline:
         else:
             model_fn = model_apply
 
-        def detect(params, frame_u8, extras_k: int | None = None):
+        # space-to-depth packed prefix (ops/pack.py): exact weight
+        # re-indexing that runs the small-channel high-res stages at
+        # half spatial / 4x channels — MXU-shaped. Measured on the v5e:
+        # +24% throughput on the S-stream batched step, but a net LOSS
+        # at batch 1 (40x40 single-frame stages underfill the chip and
+        # the 3x3 taps cost 4x the FLOPs) — so it is enabled for
+        # batch_step only. The transform is computed once per dispatch,
+        # hoisted out of the vmap body.
+        is_v8family = not self._is_v5 and not self._is_v7
+        use_pack = (
+            is_v8family and size % 4 == 0 and jax.default_backend() != "cpu"
+        )
+
+        def _packed_prefix(params):
+            if not use_pack:
+                return None
+            from strongsort_yolo_tpu.ops.pack import pack_backbone_prefix
+
+            return pack_backbone_prefix(params["backbone"])
+
+        def detect(params, frame_u8, extras_k: int | None = None,
+                   packed=None):
             """extras_k caps how many detection rows get masks/keypoints
             computed: in track mode only the top ``tracker_max_dets``
             rows can ever be referenced by a track (NMS output is
@@ -316,8 +337,13 @@ class Pipeline:
             wasted HBM — (max_det, 160, 160) mask tensors dominate the
             step's memory otherwise."""
             img = letterbox(frame_u8, lp, dtype=compute_dtype)
+            if is_v8family:
+                kw = {"pack": False} if packed is None else {
+                    "packed_prefix": packed}
+            else:
+                kw = {}
             out = model_fn(
-                params, img[None], cfg, compute_dtype=compute_dtype
+                params, img[None], cfg, compute_dtype=compute_dtype, **kw
             )
             if "boxes" in out:  # anchor-based v5/v7: already decoded
                 det = non_max_suppression(
@@ -403,13 +429,14 @@ class Pipeline:
         # transform (256 batched 8x8 matmuls/frame — measurable)
         use_warp = self.gmc.method != "none"
 
-        def _track_body(params, track_state, frame_u8, warp):
+        def _track_body(params, track_state, frame_u8, warp, packed=None):
             """One frame's full track step: detect → (embed) →
             associate. Extras (masks/keypoints) are computed for the
             top ``tracker_max_dets`` rows — the only rows a track's
             ``det_index`` can reference."""
             warp = warp if use_warp else None
-            det, extras = detect(params, frame_u8, extras_k=t_max)
+            det, extras = detect(params, frame_u8, extras_k=t_max,
+                                 packed=packed)
             # association sees the top tracker_max_dets rows (exact:
             # NMS output is confidence-sorted)
             tb, ts = det.boxes[:t_max], det.scores[:t_max]
@@ -457,7 +484,12 @@ class Pipeline:
         # stream axis (params broadcast) — per-stream GMC warps, ReID
         # feats, and seg/pose extras all ride along (SURVEY.md §2.5 DP:
         # streams are independent, so the batch is collective-free)
-        batch_step = jax.jit(jax.vmap(_track_body, in_axes=(None, 0, 0, 0)))
+        @jax.jit
+        def batch_step(params, track_states, frames_u8, warps):
+            packed = _packed_prefix(params)  # hoisted out of the vmap
+            return jax.vmap(
+                lambda st, f, w: _track_body(params, st, f, w, packed=packed)
+            )(track_states, frames_u8, warps)
 
         return _StepSet(detect_step, track_step, track_chunk, batch_step, lp)
 

@@ -1,0 +1,127 @@
+"""Space-to-depth packed execution (ops/pack.py) — exactness tests.
+
+The packed prefix must compute the SAME function as the unpacked
+model: packing is a TPU layout optimization, not an approximation.
+All tests run f32 on CPU against the plain implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from strongsort_yolo_tpu.models import common as C
+from strongsort_yolo_tpu.models.yolo import (
+    YoloConfig, fuse_model, init_model, model_apply,
+)
+from strongsort_yolo_tpu.ops.pack import (
+    depth_to_space,
+    pack_backbone_prefix,
+    pack_conv3_weight,
+    pack_conv_params,
+    pack_pointwise_weight,
+    space_to_depth,
+)
+
+
+def _conv(x, w, stride=1, pad=1):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def test_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)), jnp.float32)
+    np.testing.assert_array_equal(depth_to_space(space_to_depth(x)), x)
+
+
+def test_s2d_layout_channel_major(rng):
+    """out[..., I, J, c*4 + oy*2 + ox] == x[..., 2I+oy, 2J+ox, c]."""
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)), jnp.float32)
+    y = space_to_depth(x)
+    for c in range(3):
+        for oy in range(2):
+            for ox in range(2):
+                np.testing.assert_array_equal(
+                    y[0, :, :, c * 4 + oy * 2 + ox],
+                    x[0, oy::2, ox::2, c],
+                )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("ci,co", [(3, 16), (16, 32), (32, 32)])
+def test_pack_conv3_exact(rng, stride, ci, co):
+    h = w = 16
+    x = jnp.asarray(rng.normal(size=(2, h, w, ci)), jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.1, jnp.float32)
+    ref = _conv(x, wgt, stride=stride)
+    packed = _conv(space_to_depth(x), pack_conv3_weight(wgt, stride),
+                   stride=stride)
+    np.testing.assert_allclose(
+        depth_to_space(packed), ref, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pack_pointwise_exact(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(1, 1, 16, 24)) * 0.1, jnp.float32)
+    ref = _conv(x, wgt, pad=0)
+    packed = _conv(space_to_depth(x), pack_pointwise_weight(wgt), pad=0)
+    np.testing.assert_allclose(
+        depth_to_space(packed), ref, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pack_conv_params_bn_form(rng):
+    """Unfused conv+BN dicts pack too (BN vectors repeat per position)."""
+    p = C.init_conv(jax.random.PRNGKey(3), 8, 16, 3)
+    # make BN non-trivial
+    p["bn_mean"] = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    p["bn_var"] = jnp.asarray(rng.uniform(0.5, 2.0, (16,)), jnp.float32)
+    p["bn_scale"] = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 12, 12, 8)), jnp.float32)
+    ref = C.conv_apply(p, x)
+    packed = C.conv_apply(pack_conv_params(p, stride=1), space_to_depth(x))
+    np.testing.assert_allclose(
+        depth_to_space(packed), ref, rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("family", ["v8", "v11"])
+@pytest.mark.parametrize("fused", [True, False])
+def test_packed_model_apply_equals_unpacked(rng, family, fused):
+    cfg = YoloConfig(family=family, scale="n", task="detect")
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    if fused:
+        params = fuse_model(params)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    ref = model_apply(params, x, cfg, pack=False)
+    out = model_apply(params, x, cfg, pack=True)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=1e-4, atol=1e-4, err_msg=k
+        )
+
+
+def test_packed_prefix_params_cover_all_convs():
+    """pack_backbone_prefix transforms every conv dict it receives
+    (guards against silently passing through unpacked weights)."""
+    cfg = YoloConfig(family="v8", scale="n", task="detect")
+    bb = fuse_model(init_model(jax.random.PRNGKey(0), cfg))["backbone"]
+    packed = pack_backbone_prefix(bb)
+
+    def check(node, orig):
+        if isinstance(node, dict):
+            if "w" in node and node["w"].ndim == 4:
+                assert node["w"].shape[2] == 4 * orig["w"].shape[2]
+                assert node["w"].shape[3] == 4 * orig["w"].shape[3]
+            else:
+                for k in node:
+                    check(node[k], orig[k])
+        elif isinstance(node, list):
+            for a, b in zip(node, orig):
+                check(a, b)
+
+    for key in packed:
+        check(packed[key], bb[key])
