@@ -97,12 +97,20 @@ def conv_apply(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
+    return bn_act(p, y, eps=eps, act=act)
+
+
+def bn_act(
+    p: Params, y: jnp.ndarray, *, eps: float = 1e-3, act: bool = True
+) -> jnp.ndarray:
+    """The post-conv epilogue of ``conv_apply`` (bias or BN, then SiLU)
+    — for callers that build the convolution themselves (ops/stem_fuse)."""
     if "b" in p:
-        y = y + p["b"].astype(x.dtype)
+        y = y + p["b"].astype(y.dtype)
     else:
         scale = p["bn_scale"] * jax.lax.rsqrt(p["bn_var"] + eps)
         bias = p["bn_bias"] - p["bn_mean"] * scale
-        y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
     return silu(y) if act else y
 
 

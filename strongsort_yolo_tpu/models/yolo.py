@@ -170,6 +170,7 @@ def init_backbone(key: jax.Array, cfg: YoloConfig) -> Params:
 def backbone_apply(
     cfg: YoloConfig, p: Params, x: jnp.ndarray, *, pack: bool = False,
     packed_prefix: Params | None = None,
+    stem_out: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NHWC image -> (P3, P4, P5) pyramid features.
 
@@ -181,15 +182,26 @@ def backbone_apply(
     packed_prefix: precomputed ``pack_backbone_prefix(p)`` — pass it
     when calling inside a ``lax.scan``/``vmap`` body so the weight
     transform is hoisted out of the loop (implies pack=True).
+
+    stem_out: precomputed packed stem output (from
+    ops/stem_fuse.fused_stem_apply — letterbox folded into the stem);
+    when given, ``x`` is ignored and the prefix continues from down1.
     """
-    if pack or packed_prefix is not None:
+    if pack or packed_prefix is not None or stem_out is not None:
         from strongsort_yolo_tpu.ops.pack import (
             depth_to_space, pack_backbone_prefix, space_to_depth,
         )
 
         pp = packed_prefix if packed_prefix is not None else pack_backbone_prefix(p)
-        y = space_to_depth(x)
-        y = C.conv_apply(pp["stem"], y, stride=2)
+        if stem_out is not None:
+            y = stem_out
+        elif "stem6" in pp:
+            # s2d folded into the stem: one 6x6/s4 conv on the raw
+            # frame (ops/pack.fuse_stem_s2d) — no transpose copy.
+            y = C.conv_apply(pp["stem6"], x, stride=4, pad=2)
+        else:
+            y = space_to_depth(x)
+            y = C.conv_apply(pp["stem"], y, stride=2)
         y = C.conv_apply(pp["down1"], y, stride=2)
         y = _stage_block_apply(cfg, pp["stage1"], y, shortcut=True)
         y = C.conv_apply(pp["down2"], y, stride=2)
@@ -373,12 +385,13 @@ def init_model(key: jax.Array, cfg: YoloConfig) -> Params:
 
 def model_apply(
     params: Params,
-    x: jnp.ndarray,
+    x: jnp.ndarray | None,
     cfg: YoloConfig,
     *,
     compute_dtype: jnp.dtype = jnp.float32,
     pack: bool | None = None,
     packed_prefix: Params | None = None,
+    stem_out: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Full forward. x: (B, H, W, 3) in [0,1], NHWC.
 
@@ -392,11 +405,16 @@ def model_apply(
     (None) enables it on accelerator backends whenever the input size
     allows — the transform is numerically exact (same math, re-indexed
     weights), but on CPU the 4x-channel convs just cost extra FLOPs.
+
+    stem_out: precomputed packed stem output (letterbox folded into
+    the stem — ops/stem_fuse); ``x`` may be None then.
     """
-    x = x.astype(compute_dtype)
+    if stem_out is None:
+        x = x.astype(compute_dtype)
     if pack is None:
         pack = (
             packed_prefix is not None
+            or stem_out is not None
             or (
                 jax.default_backend() != "cpu"
                 and x.shape[-3] % 4 == 0
@@ -404,7 +422,8 @@ def model_apply(
             )
         )
     feats = backbone_apply(
-        cfg, params["backbone"], x, pack=pack, packed_prefix=packed_prefix
+        cfg, params["backbone"], x, pack=pack, packed_prefix=packed_prefix,
+        stem_out=stem_out,
     )
     n3, n4, n5 = neck_apply(cfg, params["neck"], feats)
     box_logits, cls_logits = detect_head_apply(params["detect"], (n3, n4, n5))

@@ -62,6 +62,7 @@ def solve_assignment(
     *,
     eps_rel: float = 3e-3,
     max_rounds_factor: int = 16,
+    method: str | None = None,
 ) -> AssignmentResult:
     """Min-cost assignment with a cost limit, fixed shape, jit-safe.
 
@@ -70,6 +71,10 @@ def solve_assignment(
       ``cost_limit`` semantics).
     row_valid / col_valid: bool masks for fixed-shape padding.
     eps_rel: auction slack as a fraction of the cost range.
+    method: "pallas" (VMEM-resident kernel, TPU), "xla", or None =
+      auto (pallas on TPU backends). Both run the same auction; the
+      kernel avoids per-round HBM re-reads and exits per-problem
+      instead of per-vmap-batch (ops/pallas/auction_kernel.py).
     """
     r, c = cost.shape
     n_obj = c + r
@@ -89,6 +94,25 @@ def solve_assignment(
     # per row at 0; everything else forbidden.
     forbid = jnp.float32(-4.0)
     w_real = jnp.where(valid_pair, (thresh - finite_cost) / crange, forbid)
+
+    if method is None:
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "pallas":
+        from strongsort_yolo_tpu.ops.pallas.auction_kernel import (
+            pallas_auction,
+        )
+
+        assign, _ = pallas_auction(
+            w_real,
+            eps_rel=eps_rel,
+            max_rounds_factor=max_rounds_factor,
+            # interpret mode off-TPU so method="pallas" is testable on CPU
+            interpret=jax.default_backend() != "tpu",
+        )
+        return _filter_matches(
+            assign, finite_cost, thresh, row_valid, col_valid, r, c
+        )
+
     sent = jnp.where(
         jnp.eye(r, dtype=bool), 0.0, forbid
     )  # (r, r) dedicated sentinels
@@ -166,9 +190,22 @@ def solve_assignment(
     assign = jax.lax.cond(
         nonempty, solve, lambda _: jnp.full((r,), -1, jnp.int32), None
     )
+    return _filter_matches(
+        assign, finite_cost, thresh, row_valid, col_valid, r, c
+    )
 
-    # Real matches only: column index < c, benefit positive (cost
-    # within limit), both sides valid.
+
+def _filter_matches(
+    assign: jnp.ndarray,
+    finite_cost: jnp.ndarray,
+    thresh: jnp.ndarray,
+    row_valid: jnp.ndarray,
+    col_valid: jnp.ndarray,
+    r: int,
+    c: int,
+) -> AssignmentResult:
+    """Keep real matches only: column index < c (not a sentinel),
+    cost within limit, both sides valid."""
     j = jnp.clip(assign, 0, c - 1)
     is_real = jnp.logical_and(assign >= 0, assign < c)
     cost_ok = finite_cost[jnp.arange(r), j] <= thresh + 1e-6

@@ -64,19 +64,92 @@ def _interp_matrix(dst: int, src: int) -> jnp.ndarray:
     return jnp.asarray(m)
 
 
+def _decimation_stride(dst: int, src: int) -> tuple[int, int] | None:
+    """If cv2.INTER_LINEAR sampling dst<-src is PURE DECIMATION —
+    every output sample lands exactly on an input pixel with uniform
+    stride — return (offset, stride), else None.
+
+    This happens whenever src = k*dst for integer k (the half-pixel
+    source position (y+0.5)k - 0.5 is integral iff k is odd... not
+    quite: it is k*y + (k-1)/2, integral for odd k; for even k the
+    fraction is exactly 0.5 and cv2 blends two pixels). Checked
+    numerically so the rule never needs to be trusted."""
+    import numpy as np
+
+    pos = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+    lo = np.floor(pos)
+    w_hi = pos - lo
+    if not (np.abs(w_hi) < 1e-9).all():
+        return None
+    idx = np.clip(lo, 0, src - 1).astype(int)
+    if dst == 1:
+        return None
+    strides = np.diff(idx)
+    if (strides == strides[0]).all() and strides[0] > 0:
+        return int(idx[0]), int(strides[0])
+    return None
+
+
+def _block_sel(dst: int, src: int):
+    """For integer downscale factors src = s*dst, INTER_LINEAR output
+    sample y draws only from input block [s*y, s*(y+1)) with weights
+    CONSTANT across y — return that length-s weight vector (numpy), or
+    None. Turns the resize into a reshape + tiny-K contraction that
+    reads the frame once, sequentially (vs the (dst, src) dense
+    operator's 500x redundant FLOPs, or strided slices that scalarize
+    on TPU tiled layouts)."""
+    import numpy as np
+
+    if dst <= 0 or src % dst or src == dst == 1:
+        return None
+    s = src // dst
+    pos = (np.arange(dst) + 0.5) * s - 0.5
+    lo = np.floor(pos).astype(int)
+    w_hi = pos - lo
+    k_lo = lo - s * np.arange(dst)
+    if not (k_lo == k_lo[0]).all() or not (np.abs(w_hi - w_hi[0]) < 1e-9).all():
+        return None
+    if k_lo[0] < 0 or k_lo[0] > s - 1:
+        return None
+    hi_needed = w_hi[0] > 1e-9
+    if hi_needed and k_lo[0] + 1 > s - 1:
+        return None
+    sel = np.zeros((s,), np.float32)
+    sel[k_lo[0]] = 1.0 - w_hi[0]
+    if hi_needed:
+        sel[k_lo[0] + 1] = w_hi[0]
+    return sel
+
+
 def resize_bilinear_matmul(
     x: jnp.ndarray, new_h: int, new_w: int, *, precision=None
 ) -> jnp.ndarray:
-    """Bilinear resize as two dense contractions (separable kernel).
+    """Bilinear resize as contractions (separable kernel).
 
     x: (..., H, W, C) float. Matches jax.image.resize(method='linear',
     antialias=False) / cv2.INTER_LINEAR sampling.
+
+    Uses the dense (dst, src) interpolation-matrix contraction on the
+    MXU for every geometry. Two cheaper-on-paper forms were measured
+    SLOWER on the v5e at 1080p batch 32 and reverted (git history):
+    - strided slices for pure-decimation factors: scalarized copies on
+      HBM-tiled layouts, and the split op chain stops XLA fusing the
+      BGR-flip/cast into the contraction;
+    - block-selection einsums (reshape axis to (dst, s) and contract a
+      length-s vector, 500x fewer FLOPs): lowered to multiply-reduce
+      fusions with transposed output layouts plus ~1.7ms of relayout
+      copies. The dense operator runs at ~130 TFLOP/s fused with the
+      cast/flip — redundant FLOPs the MXU shrugs off.
+    ``_block_sel`` is kept for ops/stem_fuse.py's analysis.
     """
     h, w = x.shape[-3], x.shape[-2]
-    ry = _interp_matrix(new_h, h).astype(x.dtype)
-    rx = _interp_matrix(new_w, w).astype(x.dtype)
-    t = jnp.einsum("yh,...hwc->...ywc", ry, x, precision=precision)
-    return jnp.einsum("xw,...ywc->...yxc", rx, t, precision=precision)
+    if new_h != h:
+        ry = _interp_matrix(new_h, h).astype(x.dtype)
+        x = jnp.einsum("yh,...hwc->...ywc", ry, x, precision=precision)
+    if new_w != w:
+        rx = _interp_matrix(new_w, w).astype(x.dtype)
+        x = jnp.einsum("xw,...ywc->...yxc", rx, x, precision=precision)
+    return x
 
 
 def letterbox(

@@ -159,16 +159,45 @@ def _pack_block(node: Any, *, stride_keys: dict[int, int] | None = None) -> Any:
     return node
 
 
+def fuse_stem_s2d(p: Params) -> Params:
+    """Fold the input space-to-depth INTO the stem conv.
+
+    The packed stem is a 3x3/s2 conv over ``space_to_depth(x)``; by the
+    same index algebra as :func:`pack_conv3_weight` that composition is
+    exactly ONE 6x6/s4 conv on the raw (unpacked) frame:
+
+        conv3x3_s2(s2d(x), W') == conv6x6_s4_pad2(x, W'')
+        W''[2B+oy, 2Bx+ox, c, q] = W'[B, Bx, c*4 + oy*2 + ox, q]
+
+    On TPU ``space_to_depth`` lowers to a transpose (a pure HBM copy of
+    the whole frame); this removes it from the hot path entirely while
+    keeping the packed prefix's MXU-friendly 4x channels.
+    """
+    w = p["w"]
+    assert w.shape[0] == 3 and w.shape[1] == 3, w.shape
+    ci, co = w.shape[2], w.shape[3]
+    wp = pack_conv3_weight(w, stride=2)          # (3, 3, 4ci, 4co)
+    wp = wp.reshape(3, 3, ci, 2, 2, 4 * co)      # [B, Bx, c, oy, ox, q]
+    wp = wp.transpose(0, 3, 1, 4, 2, 5)          # [B, oy, Bx, ox, c, q]
+    out = {"w": wp.reshape(6, 6, ci, 4 * co)}
+    for key in ("b", "bn_scale", "bn_bias", "bn_mean", "bn_var"):
+        if key in p:
+            out[key] = pack_channel_vector(p[key])
+    return out
+
+
 def pack_backbone_prefix(bb: Params) -> Params:
     """Pack the stem..stage2 prefix of a v8/v11 backbone param dict.
 
     Returns packed copies of stem/down1/stage1/down2/stage2 — the
     layers that run at 160x160/80x80 original resolution where the
     MXU-starved shapes live. (down/stem convs are stride 2; every conv
-    inside the CSP stage blocks is stride 1.)
+    inside the CSP stage blocks is stride 1.) The stem is emitted as
+    ``stem6`` — the s2d-fused 6x6/s4 form consuming the raw frame
+    (:func:`fuse_stem_s2d`), so no explicit space_to_depth runs.
     """
     return {
-        "stem": pack_conv_params(bb["stem"], stride=2),
+        "stem6": fuse_stem_s2d(bb["stem"]),
         "down1": pack_conv_params(bb["down1"], stride=2),
         "stage1": _pack_block(bb["stage1"]),
         "down2": pack_conv_params(bb["down2"], stride=2),

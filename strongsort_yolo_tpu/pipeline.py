@@ -328,6 +328,17 @@ class Pipeline:
 
             return pack_backbone_prefix(params["backbone"])
 
+        # letterbox bars/normalize folded into the stem conv
+        # (ops/stem_fuse.py): the packed path resizes on the MXU and
+        # feeds the RAW-range BGR result straight to the stem — the
+        # gray bars, /255, BGR->RGB and the 640x640 pad are never
+        # materialized. None when geometry doesn't allow.
+        from strongsort_yolo_tpu.ops.stem_fuse import stem_fuse_plan
+
+        fuse_plan = (
+            stem_fuse_plan(lp, lp.new_h, lp.new_w) if use_pack else None
+        )
+
         def detect(params, frame_u8, extras_k: int | None = None,
                    packed=None):
             """extras_k caps how many detection rows get masks/keypoints
@@ -336,15 +347,35 @@ class Pipeline:
             confidence-sorted), so extras for rows beyond that are
             wasted HBM — (max_det, 160, 160) mask tensors dominate the
             step's memory otherwise."""
-            img = letterbox(frame_u8, lp, dtype=compute_dtype)
-            if is_v8family:
-                kw = {"pack": False} if packed is None else {
-                    "packed_prefix": packed}
+            if packed is not None and fuse_plan is not None:
+                from strongsort_yolo_tpu.ops.letterbox import (
+                    resize_bilinear_matmul,
+                )
+                from strongsort_yolo_tpu.ops.stem_fuse import (
+                    fused_stem_apply,
+                )
+
+                x = frame_u8.astype(compute_dtype)  # BGR, 0..255
+                if (lp.new_h, lp.new_w) != tuple(src_hw):
+                    x = resize_bilinear_matmul(x, lp.new_h, lp.new_w)
+                stem_out = fused_stem_apply(
+                    packed["stem6"], x, fuse_plan, dtype=compute_dtype,
+                )
+                out = model_fn(
+                    params, None, cfg, compute_dtype=compute_dtype,
+                    packed_prefix=packed, stem_out=stem_out[None],
+                )
             else:
-                kw = {}
-            out = model_fn(
-                params, img[None], cfg, compute_dtype=compute_dtype, **kw
-            )
+                img = letterbox(frame_u8, lp, dtype=compute_dtype)
+                if is_v8family:
+                    kw = {"pack": False} if packed is None else {
+                        "packed_prefix": packed}
+                else:
+                    kw = {}
+                out = model_fn(
+                    params, img[None], cfg, compute_dtype=compute_dtype,
+                    **kw
+                )
             if "boxes" in out:  # anchor-based v5/v7: already decoded
                 det = non_max_suppression(
                     out["boxes"][0],

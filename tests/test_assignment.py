@@ -67,6 +67,56 @@ def test_matches_oracle_cost_random(rng):
         )
 
 
+def test_pallas_kernel_matches_oracle(rng):
+    """The VMEM-resident Pallas auction (interpret mode on CPU) solves
+    to the same objective as the scipy oracle and the XLA auction."""
+    shapes = [(12, 12), (12, 12), (7, 13), (16, 5)]
+    for r, c in shapes:
+        cost = rng.uniform(0, 1, (r, c)).astype(np.float32)
+        thresh = 0.8
+        got = solve_assignment(jnp.asarray(cost), thresh, method="pallas")
+        r2c = np.asarray(got.row_to_col)
+        c2r = np.asarray(got.col_to_row)
+        check_valid(r2c, c2r)
+        oracle_r2c, _ = solve_assignment_host(cost, thresh)
+        np.testing.assert_allclose(
+            total_cost(cost, r2c, thresh),
+            total_cost(cost, oracle_r2c, thresh),
+            atol=1e-2,
+        )
+
+
+def test_pallas_kernel_masks_and_empty(rng):
+    """Padding masks + the all-invalid (empty) problem through the
+    kernel path — the tracker's rescue stages hit these every frame."""
+    cost = rng.uniform(0, 1, (10, 9)).astype(np.float32)
+    rv = np.zeros(10, bool)
+    rv[:4] = True
+    cv = np.zeros(9, bool)
+    cv[:5] = True
+    got = solve_assignment(
+        jnp.asarray(cost), 0.7, jnp.asarray(rv), jnp.asarray(cv),
+        method="pallas",
+    )
+    r2c = np.asarray(got.row_to_col)
+    check_valid(r2c, np.asarray(got.col_to_row), rv, cv)
+    oracle_r2c, _ = solve_assignment_host(
+        np.where(rv[:, None] & cv[None, :], cost, 1e6), 0.7
+    )
+    np.testing.assert_allclose(
+        total_cost(cost, r2c, 0.7, rv, cv),
+        total_cost(cost, oracle_r2c, 0.7, rv, cv),
+        atol=1e-2,
+    )
+
+    empty = solve_assignment(
+        jnp.asarray(cost), 0.7, jnp.zeros(10, bool), None,
+        method="pallas",
+    )
+    assert (np.asarray(empty.row_to_col) == -1).all()
+    assert (np.asarray(empty.col_to_row) == -1).all()
+
+
 def test_identity_diagonal():
     # Strongly diagonal cost: must match i->i exactly.
     n = 12

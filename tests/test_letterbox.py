@@ -40,6 +40,48 @@ def test_bgr_to_rgb(rng):
     np.testing.assert_allclose(out[32, 32], [0.0, 0.0, 1.0], atol=1e-3)
 
 
+def test_decimation_fast_path_matches_cv2_exactly(rng):
+    """1080p -> 640 letterbox is an exact 3x decimation under
+    cv2.INTER_LINEAR sampling (src = 3*dst + 1, zero fractional
+    weight): the strided-slice fast path must agree with cv2 EXACTLY
+    (pixel picks, no interpolation error)."""
+    import cv2
+
+    from strongsort_yolo_tpu.ops.letterbox import _decimation_stride
+
+    assert _decimation_stride(360, 1080) == (1, 3)
+    assert _decimation_stride(640, 1920) == (1, 3)
+    assert _decimation_stride(640, 960) is None  # 2/3 upscale: blend
+
+    frame = rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8)
+    p = letterbox_params(1080, 1920, 640)
+    ours = np.asarray(letterbox(jnp.asarray(frame), p, bgr_to_rgb=False))
+    ref = cv2.resize(frame, (640, 360), interpolation=cv2.INTER_LINEAR)
+    top = int(round(p.pad_y - 0.1))
+    crop = np.round(ours[top : top + 360, :] * 255.0)
+    np.testing.assert_array_equal(crop.astype(np.uint8), ref)
+
+
+def test_block_sel_720p_matches_cv2(rng):
+    """720p -> 640x360 is an exact 2x downscale: the block-selection
+    path blends each 2x2 with weights 0.5 — matches cv2 to rounding."""
+    import cv2
+
+    from strongsort_yolo_tpu.ops.letterbox import _block_sel
+
+    np.testing.assert_allclose(_block_sel(360, 720), [0.5, 0.5])
+    np.testing.assert_allclose(_block_sel(360, 1080), [0.0, 1.0, 0.0])
+    assert _block_sel(640, 960) is None  # not an integer factor
+
+    frame = rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
+    p = letterbox_params(720, 1280, 640)
+    ours = np.asarray(letterbox(jnp.asarray(frame), p, bgr_to_rgb=False))
+    ref = cv2.resize(frame, (640, 360), interpolation=cv2.INTER_LINEAR)
+    top = int(round(p.pad_y - 0.1))
+    crop = ours[top : top + 360, :] * 255.0
+    assert np.abs(crop - ref.astype(np.float32)).max() <= 1.0
+
+
 def test_matches_cv2_resize_close(rng):
     import cv2
 

@@ -16,6 +16,7 @@ from strongsort_yolo_tpu.models.yolo import (
 )
 from strongsort_yolo_tpu.ops.pack import (
     depth_to_space,
+    fuse_stem_s2d,
     pack_backbone_prefix,
     pack_conv3_weight,
     pack_conv_params,
@@ -88,6 +89,25 @@ def test_pack_conv_params_bn_form(rng):
     )
 
 
+def test_fuse_stem_s2d_exact(rng):
+    """conv6x6/s4/p2(x, W'') == packed-stem(s2d(x)) == plain stem(x)."""
+    ci, co = 3, 16
+    x = jnp.asarray(rng.normal(size=(2, 24, 32, ci)), jnp.float32)
+    p = C.init_conv(jax.random.PRNGKey(5), ci, co, 3)
+    p["bn_mean"] = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
+    p["bn_var"] = jnp.asarray(rng.uniform(0.5, 2.0, (co,)), jnp.float32)
+
+    ref = C.conv_apply(p, x, stride=2)                       # (2,12,16,co)
+    packed = C.conv_apply(
+        pack_conv_params(p, stride=2), space_to_depth(x), stride=2
+    )
+    fused = C.conv_apply(fuse_stem_s2d(p), x, stride=4, pad=2)
+    np.testing.assert_allclose(fused, packed, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        depth_to_space(fused), ref, rtol=1e-4, atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("family", ["v8", "v11"])
 @pytest.mark.parametrize("fused", [True, False])
 def test_packed_model_apply_equals_unpacked(rng, family, fused):
@@ -124,4 +144,9 @@ def test_packed_prefix_params_cover_all_convs():
                 check(a, b)
 
     for key in packed:
+        if key == "stem6":  # s2d-fused: (6,6,ci,4co) on the RAW frame
+            assert packed[key]["w"].shape == (
+                6, 6, bb["stem"]["w"].shape[2], 4 * bb["stem"]["w"].shape[3]
+            )
+            continue
         check(packed[key], bb[key])
