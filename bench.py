@@ -272,8 +272,10 @@ def main() -> None:
 
     fps8, mfu8 = run_batched(8)
     fps16, mfu16 = run_batched(16)
-    S, fps_agg, mfu_agg = (
-        (16, fps16, mfu16) if fps16 > fps8 else (8, fps8, mfu8)
+    fps32, mfu32 = run_batched(32)
+    S, fps_agg, mfu_agg = max(
+        [(8, fps8, mfu8), (16, fps16, mfu16), (32, fps32, mfu32)],
+        key=lambda t: t[1],
     )
 
     platform = jax.devices()[0].platform
@@ -289,6 +291,7 @@ def main() -> None:
             "single_stream_strongsort_fps": round(fps_ss, 2),
             "aggregate_fps_s8": round(fps8, 2),
             "aggregate_fps_s16": round(fps16, 2),
+            "aggregate_fps_s32": round(fps32, 2),
             "aggregate_mfu": round(mfu_agg, 4),
             "gflop_per_frame": round(flops_frame / 1e9, 2),
             "max_det": det_cfg.max_det,

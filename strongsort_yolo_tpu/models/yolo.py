@@ -392,14 +392,20 @@ def model_apply(
     pack: bool | None = None,
     packed_prefix: Params | None = None,
     stem_out: jnp.ndarray | None = None,
+    out_dtype: jnp.dtype | None = jnp.float32,
 ) -> dict[str, jnp.ndarray]:
     """Full forward. x: (B, H, W, 3) in [0,1], NHWC.
 
-    Returns raw head outputs in float32:
+    Returns raw head outputs:
       box_logits (B, A, 4*reg_max), cls_logits (B, A, nc),
       + task extras: mask_coef (B, A, nm) & proto (B, Hm, Wm, nm),
         or kpt_raw (B, A, nk).
     A = sum over levels of (H/s * W/s).
+
+    out_dtype: dtype of box/cls logits — float32 default; None keeps
+    the compute dtype (the (B, A, nc) casts are two full HBM passes at
+    batch 32, and sigmoid/softmax consumers cast their few candidate
+    rows themselves).
 
     pack: space-to-depth packed prefix (see backbone_apply). Default
     (None) enables it on accelerator backends whenever the input size
@@ -427,9 +433,12 @@ def model_apply(
     )
     n3, n4, n5 = neck_apply(cfg, params["neck"], feats)
     box_logits, cls_logits = detect_head_apply(params["detect"], (n3, n4, n5))
+    if out_dtype is not None:
+        box_logits = box_logits.astype(out_dtype)
+        cls_logits = cls_logits.astype(out_dtype)
     out = {
-        "box_logits": box_logits.astype(jnp.float32),
-        "cls_logits": cls_logits.astype(jnp.float32),
+        "box_logits": box_logits,
+        "cls_logits": cls_logits,
     }
     if cfg.task == "segment":
         coefs = []

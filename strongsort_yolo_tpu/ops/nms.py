@@ -109,26 +109,32 @@ def nms_from_logits(
     # sigmoid is monotone, so rank by max logit and sigmoid the winner
     if class_filter is not None:
         cls_logits = jnp.where(class_filter[None, :], cls_logits, -1e9)
+    # logits may arrive in the compute dtype (bf16 on TPU); ranking
+    # compares the same values either way, and only the K candidate
+    # rows are cast up for sigmoid/DFL below — the (A, nc) full-tensor
+    # f32 casts were two of the hottest HBM passes in the batched step
     best_logit = jnp.max(cls_logits, axis=-1)
     k = min(pre_nms_topk, a)
     if approx_topk:
-        top_logit, top_idx = jax.lax.approx_max_k(best_logit, k)
+        top_logit, top_idx = jax.lax.approx_max_k(
+            best_logit.astype(jnp.float32), k
+        )
     else:
-        top_logit, top_idx = jax.lax.top_k(best_logit, k)
+        top_logit, top_idx = jax.lax.top_k(best_logit.astype(jnp.float32), k)
     top_conf = jax.nn.sigmoid(top_logit)
     top_cls = jnp.argmax(cls_logits[top_idx], axis=-1).astype(jnp.int32)
     top_valid = top_conf >= conf_thres
 
     top_boxes = decode_boxes(
-        box_logits[top_idx], anchors[top_idx], strides[top_idx], reg_max
+        box_logits[top_idx].astype(jnp.float32),
+        anchors[top_idx], strides[top_idx], reg_max,
     )
-    det = _nms_on_candidates(
+    return _nms_on_candidates(
         top_boxes, top_conf, top_cls, top_valid,
         conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
         agnostic=agnostic, backend=backend,
+        row_ids=top_idx,  # emit anchor indices directly
     )
-    # remap candidate index -> anchor index
-    return det._replace(index=top_idx[det.index].astype(jnp.int32))
 
 
 def non_max_suppression(
@@ -171,12 +177,12 @@ def non_max_suppression(
     top_cls = cls[top_idx]
     top_valid = top_conf >= conf_thres
 
-    det = _nms_on_candidates(
+    return _nms_on_candidates(
         top_boxes, top_conf, top_cls, top_valid,
         conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
         agnostic=agnostic, backend=backend,
+        row_ids=top_idx,
     )
-    return det._replace(index=top_idx[det.index].astype(jnp.int32))
 
 
 def _nms_on_candidates(
@@ -190,9 +196,12 @@ def _nms_on_candidates(
     max_det: int,
     agnostic: bool,
     backend: str,
+    row_ids: jnp.ndarray | None = None,
 ) -> Detections:
     """Suppression + final selection over pre-ranked candidates.
-    Returned ``index`` is the row within the candidate arrays."""
+    Returned ``index`` is ``row_ids[sel]`` when given (the caller's
+    original anchor/row numbering), else the row within the candidate
+    arrays."""
     k = top_boxes.shape[0]
     offset = jnp.where(
         top_valid, top_cls.astype(jnp.float32), 0.0
@@ -223,9 +232,34 @@ def _nms_on_candidates(
         out_conf = jnp.pad(out_conf, (0, max_det - out_k), constant_values=-1.0)
         out_sel = jnp.pad(out_sel, (0, max_det - out_k))
     out_valid = out_conf >= conf_thres
-    out_boxes = jnp.where(out_valid[:, None], top_boxes[out_sel], 0.0)
     out_scores = jnp.where(out_valid, out_conf, 0.0)
-    out_cls = jnp.where(out_valid, top_cls[out_sel], 0)
-    out_index = jnp.where(out_valid, out_sel, 0).astype(jnp.int32)
+
+    # The (max_det,)-indexed row gathers lower as slow scalarized
+    # gathers on TPU (~300us each at S=32); one masked one-hot matmul
+    # on the MXU fetches boxes+cls+index in a single pass, and the
+    # zeroed invalid rows reproduce the where(valid, ..., 0) padding
+    # exactly (ids < 2^24 are exact in f32).
+    if row_ids is None:
+        row_ids = jnp.arange(k, dtype=jnp.int32)
+    sel_oh = jnp.logical_and(
+        out_sel[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :],
+        out_valid[:, None],
+    ).astype(jnp.float32)  # (max_det, k)
+    table = jnp.concatenate(
+        [
+            top_boxes.astype(jnp.float32),
+            top_cls.astype(jnp.float32)[:, None],
+            row_ids.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (k, 6)
+    # HIGHEST: default TPU matmul does bf16 multiplies, which would
+    # round ids/coords (NOTES.md precision lesson)
+    gathered = jnp.matmul(
+        sel_oh, table, precision=jax.lax.Precision.HIGHEST
+    )
+    out_boxes = gathered[:, :4].astype(top_boxes.dtype)
+    out_cls = gathered[:, 4].astype(jnp.int32)
+    out_index = gathered[:, 5].astype(jnp.int32)
     count = jnp.sum(out_valid.astype(jnp.int32))
     return Detections(out_boxes, out_scores, out_cls, count, out_valid, out_index)

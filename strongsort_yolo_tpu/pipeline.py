@@ -364,12 +364,14 @@ class Pipeline:
                 out = model_fn(
                     params, None, cfg, compute_dtype=compute_dtype,
                     packed_prefix=packed, stem_out=stem_out[None],
+                    out_dtype=None,  # nms_from_logits casts candidates
                 )
             else:
                 img = letterbox(frame_u8, lp, dtype=compute_dtype)
                 if is_v8family:
                     kw = {"pack": False} if packed is None else {
                         "packed_prefix": packed}
+                    kw["out_dtype"] = None
                 else:
                     kw = {}
                 out = model_fn(
