@@ -76,23 +76,26 @@ def conv_apply(
     dilation: int = 1,
     act: bool = True,
     eps: float = 1e-3,
-    pad: int | None = None,
+    pad: int | tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Conv -> BN (inference stats) -> SiLU. NHWC in/out.
 
     When the params were produced by ``fuse_conv_bn`` ("b" present, BN
     keys absent) the BN math is skipped entirely. ``pad`` overrides the
-    'same' autopad (even kernels, e.g. the v5 6x6/2 stem uses pad=2).
+    'same' autopad (even kernels, e.g. the v5 6x6/2 stem uses pad=2;
+    a (lo, hi) tuple applies asymmetrically to both spatial axes —
+    the packed-transition 2x2 convs use (1, 0)).
     """
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
     if pad is None:
         pad = autopad(k, dilation)
+    pad2 = pad if isinstance(pad, tuple) else (pad, pad)
     y = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
+        padding=[pad2, pad2],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,

@@ -171,6 +171,7 @@ def backbone_apply(
     cfg: YoloConfig, p: Params, x: jnp.ndarray, *, pack: bool = False,
     packed_prefix: Params | None = None,
     stem_out: jnp.ndarray | None = None,
+    packed_p3: Params | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NHWC image -> (P3, P4, P5) pyramid features.
 
@@ -186,6 +187,10 @@ def backbone_apply(
     stem_out: precomputed packed stem output (from
     ops/stem_fuse.fused_stem_apply — letterbox folded into the stem);
     when given, ``x`` is ignored and the prefix continues from down1.
+
+    packed_p3: ops/pack.pack_p3_path params — P3 is returned PACKED
+    (40x40x4C) and down3 consumes it via the transition conv; the
+    neck/head must then also receive packed_p3.
     """
     if pack or packed_prefix is not None or stem_out is not None:
         from strongsort_yolo_tpu.ops.pack import (
@@ -206,6 +211,13 @@ def backbone_apply(
         y = _stage_block_apply(cfg, pp["stage1"], y, shortcut=True)
         y = C.conv_apply(pp["down2"], y, stride=2)
         y = _stage_block_apply(cfg, pp["stage2"], y, shortcut=True)
+        if packed_p3 is not None:
+            x = C.conv_apply(packed_p3["down3t"], y, pad=(1, 0))
+            p4 = _stage_block_apply(cfg, p["stage3"], x, shortcut=True)
+            x = C.conv_apply(p["down4"], p4, stride=2)
+            x = _stage_block_apply(cfg, p["stage4"], x, shortcut=True)
+            p5 = C.sppf_apply(p["sppf"], x)
+            return y, p4, p5  # p3 stays packed
         p3 = depth_to_space(y)
     else:
         x = C.conv_apply(p["stem"], x, stride=2)
@@ -252,14 +264,27 @@ def init_neck(key: jax.Array, cfg: YoloConfig) -> Params:
 
 
 def neck_apply(
-    cfg: YoloConfig, p: Params, feats: tuple[jnp.ndarray, ...]
+    cfg: YoloConfig, p: Params, feats: tuple[jnp.ndarray, ...],
+    *, packed_p3: Params | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PAN fusion. With packed_p3 (ops/pack.pack_p3_path), ``feats[0]``
+    is the PACKED P3 and the returned n3 is packed too: td2 runs at
+    half spatial / 4x channels, upsample2x(t4) in packed space is a
+    channel repeat, and bu1_conv uses the transition form."""
     p3, p4, p5 = feats
     x = jnp.concatenate([C.upsample2x(p5), p4], axis=-1)
     t4 = _stage_block_apply(cfg, p["td1"], x, shortcut=False)
-    x = jnp.concatenate([C.upsample2x(t4), p3], axis=-1)
-    n3 = _stage_block_apply(cfg, p["td2"], x, shortcut=False)
-    x = jnp.concatenate([C.conv_apply(p["bu1_conv"], n3, stride=2), t4], -1)
+    if packed_p3 is not None:
+        from strongsort_yolo_tpu.ops.pack import repeat4
+
+        x = jnp.concatenate([repeat4(t4), p3], axis=-1)
+        n3 = _stage_block_apply(cfg, packed_p3["td2"], x, shortcut=False)
+        bu1 = C.conv_apply(packed_p3["bu1t"], n3, pad=(1, 0))
+    else:
+        x = jnp.concatenate([C.upsample2x(t4), p3], axis=-1)
+        n3 = _stage_block_apply(cfg, p["td2"], x, shortcut=False)
+        bu1 = C.conv_apply(p["bu1_conv"], n3, stride=2)
+    x = jnp.concatenate([bu1, t4], -1)
     n4 = _stage_block_apply(cfg, p["bu1"], x, shortcut=False)
     x = jnp.concatenate([C.conv_apply(p["bu2_conv"], n4, stride=2), p5], -1)
     n5 = _stage_block_apply(cfg, p["bu2"], x, shortcut=False)
@@ -326,13 +351,24 @@ def init_detect_head(key: jax.Array, cfg: YoloConfig) -> Params:
 
 
 def detect_head_apply(
-    p: Params, feats: tuple[jnp.ndarray, ...]
+    p: Params, feats: tuple[jnp.ndarray, ...],
+    *, packed_p3: Params | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (box_logits (B, A, 4*reg_max), cls_logits (B, A, nc))."""
+    """-> (box_logits (B, A, 4*reg_max), cls_logits (B, A, nc)).
+
+    With packed_p3, ``feats[0]`` is packed and the level-0 towers run
+    in packed space; outputs are depth_to_space'd before the flatten
+    so the anchor ordering (row-major per level) is unchanged."""
     box_out, cls_out = [], []
     for i, f in enumerate(feats):
-        b = _branch_apply(p["box"][i], f)
-        c = _branch_apply(p["cls"][i], f)
+        if i == 0 and packed_p3 is not None:
+            from strongsort_yolo_tpu.ops.pack import depth_to_space
+
+            b = depth_to_space(_branch_apply(packed_p3["box0"], f))
+            c = depth_to_space(_branch_apply(packed_p3["cls0"], f))
+        else:
+            b = _branch_apply(p["box"][i], f)
+            c = _branch_apply(p["cls"][i], f)
         n = f.shape[0]
         box_out.append(b.reshape(n, -1, b.shape[-1]))
         cls_out.append(c.reshape(n, -1, c.shape[-1]))
@@ -392,6 +428,7 @@ def model_apply(
     pack: bool | None = None,
     packed_prefix: Params | None = None,
     stem_out: jnp.ndarray | None = None,
+    packed_p3: Params | None = None,
     out_dtype: jnp.dtype | None = jnp.float32,
 ) -> dict[str, jnp.ndarray]:
     """Full forward. x: (B, H, W, 3) in [0,1], NHWC.
@@ -427,12 +464,18 @@ def model_apply(
                 and x.shape[-2] % 4 == 0
             )
         )
+    if not pack:
+        packed_p3 = None
     feats = backbone_apply(
         cfg, params["backbone"], x, pack=pack, packed_prefix=packed_prefix,
-        stem_out=stem_out,
+        stem_out=stem_out, packed_p3=packed_p3,
     )
-    n3, n4, n5 = neck_apply(cfg, params["neck"], feats)
-    box_logits, cls_logits = detect_head_apply(params["detect"], (n3, n4, n5))
+    n3, n4, n5 = neck_apply(
+        cfg, params["neck"], feats, packed_p3=packed_p3
+    )
+    box_logits, cls_logits = detect_head_apply(
+        params["detect"], (n3, n4, n5), packed_p3=packed_p3
+    )
     if out_dtype is not None:
         box_logits = box_logits.astype(out_dtype)
         cls_logits = cls_logits.astype(out_dtype)

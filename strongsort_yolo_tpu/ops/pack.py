@@ -186,6 +186,95 @@ def fuse_stem_s2d(p: Params) -> Params:
     return out
 
 
+def pack_transition_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, ci, co) stride-2 'same' conv -> (2, 2, 4ci, co): consume
+    a PACKED input and produce the UNPACKED stride-2 output directly
+    (the packed->unpacked hand-off at a downsample layer).
+
+    Index algebra: output (i, j) of the original conv reads original
+    rows 2i-1..2i+1, which live in packed rows {i-1, i}:
+
+        W'[u, v, c*4 + oy*2 + ox, co] = W[dy, dx, c, co]
+        dy = 2u + oy - 1   (valid when 0 <= dy <= 2; (u,oy)=(0,0) is a
+                            zero tap), dx likewise from (v, ox)
+
+    Apply as a 2x2 conv, stride 1, padding (1, 0) on both spatial
+    axes, over the packed tensor.
+    """
+    assert w.shape[0] == 3 and w.shape[1] == 3, w.shape
+    ci, co = w.shape[2], w.shape[3]
+    tap = np.zeros((2, 2, 4, 1), np.int64)
+    valid = np.zeros((2, 2, 4, 1), np.float32)
+    for u in range(2):
+        for v in range(2):
+            for oy in range(2):
+                for ox in range(2):
+                    dy = 2 * u + oy - 1
+                    dx = 2 * v + ox - 1
+                    if 0 <= dy <= 2 and 0 <= dx <= 2:
+                        tap[u, v, oy * 2 + ox, 0] = dy * 3 + dx
+                        valid[u, v, oy * 2 + ox, 0] = 1.0
+    w9 = w.reshape(9, ci, co)
+    g = w9[jnp.asarray(tap[..., 0])]  # (2, 2, 4, ci, co)
+    g = g * jnp.asarray(valid, w.dtype)[..., None]
+    g = g.transpose(0, 1, 3, 2, 4)  # (u, v, ci, pos, co)
+    return g.reshape(2, 2, 4 * ci, co)
+
+
+def pack_transition_params(p: Params) -> Params:
+    """Transition form of a stride-2 conv param dict (channel vectors
+    are NOT packed: the output is unpacked)."""
+    out = {"w": pack_transition_weight(p["w"])}
+    for key in ("b", "bn_scale", "bn_bias", "bn_mean", "bn_var"):
+        if key in p:
+            out[key] = p[key]
+    return out
+
+
+def pack_p3_path(params: Params, cfg) -> Params | None:
+    """Packed-space params for the P3-resolution neck/head path.
+
+    The backbone's packed prefix ends at P3 (80x80 for 640 input),
+    but the PAN neck's td2 stage and the P3 head towers run at the
+    same MXU-starved 80x80/32-96-channel shapes — profiling showed
+    their unfused SiLU epilogues among the most expensive HLOs of the
+    batched step. This keeps P3 packed end-to-end: td2 and the level-0
+    detect towers run at 40x40 with 4x channels; ``down3``/``bu1_conv``
+    consume the packed tensor via the transition form; the nearest
+    upsample2x(t4) in packed space is a plain channel 4x-repeat.
+
+    v8-family detect only (v11's depthwise cls towers would need a
+    grouped-conv pack; seg/pose extra branches keep the plain path).
+    Returns None when not applicable.
+
+    MEASUREMENT NOTE (v5e, S=32 batched step): net NEGATIVE — the td2
+    epilogue savings were outweighed by the packed-space glue
+    (``repeat4`` lowered as a 530us channel-expand copy, the head
+    outputs' depth_to_space grew to 770us at 4x channels, and the
+    packed 1x1 out-convs ran slower than the unpacked 80x80 ones).
+    12.2 -> 14.4 ms/step. Kept as an exact, tested transform for
+    hardware where the trade flips; the pipeline does NOT enable it
+    (pipeline.py passes packed_p3=None).
+    """
+    if cfg.family != "v8" or cfg.task != "detect":
+        return None
+    det = params["detect"]
+    return {
+        "down3t": pack_transition_params(params["backbone"]["down3"]),
+        "td2": _pack_block(params["neck"]["td2"]),
+        "bu1t": pack_transition_params(params["neck"]["bu1_conv"]),
+        "box0": _pack_block(det["box"][0]),
+        "cls0": _pack_block(det["cls"][0]),
+    }
+
+
+def repeat4(x: jnp.ndarray) -> jnp.ndarray:
+    """Packed-space nearest upsample2x: packed(up2x(z)) at the same
+    spatial dims as z is just each channel repeated 4x (all four
+    packed positions of an output 2x2 share the source pixel)."""
+    return jnp.repeat(x, 4, axis=-1)
+
+
 def pack_backbone_prefix(bb: Params) -> Params:
     """Pack the stem..stage2 prefix of a v8/v11 backbone param dict.
 

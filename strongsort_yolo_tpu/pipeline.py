@@ -322,11 +322,19 @@ class Pipeline:
         )
 
         def _packed_prefix(params):
+            """(prefix, p3-path) packed params — hoisted out of the
+            vmap body so the weight transforms run once per dispatch.
+            p3-path is None when cfg doesn't allow (ops/pack.pack_p3_path)."""
             if not use_pack:
                 return None
-            from strongsort_yolo_tpu.ops.pack import pack_backbone_prefix
+            from strongsort_yolo_tpu.ops.pack import (
+                pack_backbone_prefix, pack_p3_path,
+            )
 
-            return pack_backbone_prefix(params["backbone"])
+            # pack_p3_path measured net-negative on the v5e (see its
+            # docstring) — prefix-only packing is the enabled config
+            del pack_p3_path
+            return (pack_backbone_prefix(params["backbone"]), None)
 
         # letterbox bars/normalize folded into the stem conv
         # (ops/stem_fuse.py): the packed path resizes on the MXU and
@@ -355,22 +363,25 @@ class Pipeline:
                     fused_stem_apply,
                 )
 
+                prefix, p3path = packed
                 x = frame_u8.astype(compute_dtype)  # BGR, 0..255
                 if (lp.new_h, lp.new_w) != tuple(src_hw):
                     x = resize_bilinear_matmul(x, lp.new_h, lp.new_w)
                 stem_out = fused_stem_apply(
-                    packed["stem6"], x, fuse_plan, dtype=compute_dtype,
+                    prefix["stem6"], x, fuse_plan, dtype=compute_dtype,
                 )
                 out = model_fn(
                     params, None, cfg, compute_dtype=compute_dtype,
-                    packed_prefix=packed, stem_out=stem_out[None],
+                    packed_prefix=prefix, stem_out=stem_out[None],
+                    packed_p3=p3path,
                     out_dtype=None,  # nms_from_logits casts candidates
                 )
             else:
                 img = letterbox(frame_u8, lp, dtype=compute_dtype)
                 if is_v8family:
                     kw = {"pack": False} if packed is None else {
-                        "packed_prefix": packed}
+                        "packed_prefix": packed[0],
+                        "packed_p3": packed[1]}
                     kw["out_dtype"] = None
                 else:
                     kw = {}

@@ -89,6 +89,43 @@ def test_pack_conv_params_bn_form(rng):
     )
 
 
+def test_pack_transition_exact(rng):
+    """2x2 transition conv on the packed tensor == 3x3/s2 conv on the
+    unpacked tensor (the packed->unpacked downsample hand-off)."""
+    from strongsort_yolo_tpu.ops.pack import pack_transition_params
+
+    ci, co = 8, 12
+    x = jnp.asarray(rng.normal(size=(2, 16, 20, ci)), jnp.float32)
+    p = C.init_conv(jax.random.PRNGKey(7), ci, co, 3)
+    p["bn_mean"] = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
+    p["bn_var"] = jnp.asarray(rng.uniform(0.5, 2.0, (co,)), jnp.float32)
+    ref = C.conv_apply(p, x, stride=2)  # (2, 8, 10, co)
+    got = C.conv_apply(
+        pack_transition_params(p), space_to_depth(x), pad=(1, 0)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_p3_path_model_equivalence(rng):
+    """Full packed-P3 model == unpacked — covers down3 transition,
+    packed td2, repeat4 upsample, bu1 transition, packed head towers
+    + output d2s. (Opt-in path: measured net-negative on v5e, see
+    pack_p3_path docstring — exactness still guaranteed.)"""
+    from strongsort_yolo_tpu.ops.pack import pack_p3_path
+
+    cfg = YoloConfig(family="v8", scale="n", task="detect")
+    params = fuse_model(init_model(jax.random.PRNGKey(2), cfg))
+    pp3 = pack_p3_path(params, cfg)
+    assert pp3 is not None
+    x = jnp.asarray(rng.uniform(0, 1, (1, 96, 64, 3)), jnp.float32)
+    ref = model_apply(params, x, cfg, pack=False)
+    out = model_apply(params, x, cfg, pack=True, packed_p3=pp3)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=1e-4, atol=1e-4, err_msg=k
+        )
+
+
 def test_fuse_stem_s2d_exact(rng):
     """conv6x6/s4/p2(x, W'') == packed-stem(s2d(x)) == plain stem(x)."""
     ci, co = 3, 16
