@@ -218,9 +218,40 @@ def main() -> None:
     fps_gmc = FRAMES / (time.perf_counter() - t0)
     log(f"single-stream gmc=sparseOptFlow (overlapped): {fps_gmc:.1f} fps")
 
+    # device GMC figure: gmc=flow_tpu (track/gmc_tpu.py) — the warp is
+    # estimated IN the jitted chunk (pyramidal LK on a 320x180 gray),
+    # zero host work, one program (program-alternation through the
+    # axon tunnel costs ~100ms/switch — measured, see _StepSet)
+    from strongsort_yolo_tpu.pipeline import Pipeline as _P
+    from strongsort_yolo_tpu.track import gmc_tpu
+
+    flow_pipe = _P(
+        det_cfg,
+        tracker=ByteTrackConfig(
+            tracker_type="botsort", gmc_method="flow_tpu"
+        ),
+        track_slots=256,
+    )
+    flow_pipe.params = pipe.params  # reuse the calibrated detector
+    fsteps = flow_pipe._get_step((h, w))
+    pg = gmc_tpu.frame_to_gray(dev_frames[-1])
+    hp = jnp.asarray(True)
+    fstate = flow_pipe.track_state
+    fstate, outs_f, _, pg = fsteps.track_chunk_flow(
+        flow_pipe.params, fstate, dev_frames, pg, hp
+    )
+    jax.block_until_ready(outs_f)
+    t0 = time.perf_counter()
+    for _ in range(FRAMES // chunk):
+        fstate, outs_f, _, pg = fsteps.track_chunk_flow(
+            flow_pipe.params, fstate, dev_frames, pg, hp
+        )
+    jax.block_until_ready((fstate, outs_f))
+    fps_gmc_tpu = FRAMES / (time.perf_counter() - t0)
+    log(f"single-stream gmc=flow_tpu (in-step device LK): {fps_gmc_tpu:.1f} fps")
+
     # StrongSORT path: full OSNet ReID embed in the loop (appearance
     # costs on every det; random weights, same compute)
-    from strongsort_yolo_tpu.pipeline import Pipeline as _P
 
     ss_pipe = _P(det_cfg, tracker="strongsort.yaml", track_slots=256)
     ss_pipe.params = pipe.params  # reuse the calibrated detector
@@ -278,6 +309,28 @@ def main() -> None:
         key=lambda t: t[1],
     )
 
+    # reference-default-config batched figure: botsort GMC active on
+    # every stream (device flow_tpu, estimated in-step)
+    sb = 16
+    frames_sb = jnp.asarray(np.stack([pool[i % len(pool)] for i in range(sb)]))
+    bpf = flow_pipe.track_batch_prepare(sb, (h, w))
+    states_f = bpf.states
+    pgs = gmc_tpu.frame_to_gray(frames_sb)
+    hps = jnp.ones((sb,), bool)
+    for _ in range(3):
+        states_f, _d, out_f, _e, pgs = fsteps.batch_step_flow(
+            flow_pipe.params, states_f, frames_sb, pgs, hps
+        )
+    jax.block_until_ready(states_f)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        states_f, _d, out_f, _e, pgs = fsteps.batch_step_flow(
+            flow_pipe.params, states_f, frames_sb, pgs, hps
+        )
+    jax.block_until_ready(states_f)
+    fps_flow_b = sb * 50 / (time.perf_counter() - t0)
+    log(f"aggregate {sb}-stream gmc=flow_tpu: {fps_flow_b:.1f} fps/chip")
+
     platform = jax.devices()[0].platform
     result = {
         "metric": f"e2e_1080p_track_fps_per_chip_{S}stream_yolov8n_maxdet1000_{platform}",
@@ -288,6 +341,8 @@ def main() -> None:
             "single_stream_fps": round(fps_single, 2),
             "single_stream_mfu": round(mfu_single, 4),
             "single_stream_gmc_sparseoptflow_fps": round(fps_gmc, 2),
+            "single_stream_gmc_flowtpu_fps": round(fps_gmc_tpu, 2),
+            "aggregate_fps_s16_gmc_flowtpu": round(fps_flow_b, 2),
             "single_stream_strongsort_fps": round(fps_ss, 2),
             "aggregate_fps_s8": round(fps8, 2),
             "aggregate_fps_s16": round(fps16, 2),

@@ -139,16 +139,31 @@ class Results:
 
 
 class _StepSet:
-    """Compiled step functions for one source resolution."""
+    """Compiled step functions for one source resolution.
 
-    __slots__ = ("detect_step", "track_step", "track_chunk", "batch_step", "lp")
+    The ``*_flow`` variants exist when gmc_method == "flow_tpu": they
+    carry the previous grayscale frame through the SAME jitted program
+    and estimate the GMC warp in-jit (track/gmc_tpu.py). One program
+    matters beyond dispatch count: alternating two large executables
+    through the axon tunnel measured ~100ms/switch, annihilating the
+    1.5ms warp kernel."""
 
-    def __init__(self, detect_step, track_step, track_chunk, batch_step, lp):
+    __slots__ = (
+        "detect_step", "track_step", "track_chunk", "batch_step", "lp",
+        "track_step_flow", "track_chunk_flow", "batch_step_flow",
+    )
+
+    def __init__(self, detect_step, track_step, track_chunk, batch_step, lp,
+                 track_step_flow=None, track_chunk_flow=None,
+                 batch_step_flow=None):
         self.detect_step = detect_step
         self.track_step = track_step
         self.track_chunk = track_chunk
         self.batch_step = batch_step
         self.lp = lp
+        self.track_step_flow = track_step_flow
+        self.track_chunk_flow = track_chunk_flow
+        self.batch_step_flow = batch_step_flow
 
 
 class Pipeline:
@@ -264,6 +279,9 @@ class Pipeline:
         else:
             gmc_method = "none"
         self.gmc = make_gmc(gmc_method)
+        # flow_tpu threaded state (previous gray frame, device)
+        self._flow_gray = None
+        self._flow_has = False
         self.compute_dtype = jnp.bfloat16 if det_cfg.half else jnp.float32
         self._steps: dict[tuple[int, int], Any] = {}
 
@@ -535,7 +553,87 @@ class Pipeline:
                 lambda st, f, w: _track_body(params, st, f, w, packed=packed)
             )(track_states, frames_u8, warps)
 
-        return _StepSet(detect_step, track_step, track_chunk, batch_step, lp)
+        if self.gmc.method != "flow_tpu":
+            return _StepSet(
+                detect_step, track_step, track_chunk, batch_step, lp
+            )
+
+        # flow_tpu (track/gmc_tpu.py): estimate the warp IN the step —
+        # the previous gray frame + a has-prev flag are threaded state
+        from strongsort_yolo_tpu.track import gmc_tpu
+
+        sx = src_hw[1] / gmc_tpu.BASE_W
+        sy = src_hw[0] / gmc_tpu.BASE_H
+
+        def _estimate(prev_gray, gray, has_prev):
+            # optimization_barrier fences the LK subgraph off from the
+            # surrounding program: without it XLA's layout assignment
+            # for the big fused program scalarizes the bilinear-sample
+            # gathers (measured 112ms per gather pass vs ~0.1ms when
+            # the same HLO compiles standalone)
+            prev_gray, gray = jax.lax.optimization_barrier(
+                (prev_gray, gray)
+            )
+            ident = jnp.asarray(
+                [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32
+            )
+            est = gmc_tpu.estimate_warp(
+                prev_gray, gray, scale_x=sx, scale_y=sy
+            )
+            warp = jnp.where(has_prev, est, ident)
+            return jax.lax.optimization_barrier(warp)
+
+        def _flow_body(params, track_state, frame_u8, prev_gray, has_prev,
+                       packed=None):
+            gray = gmc_tpu.frame_to_gray(frame_u8)
+            warp = _estimate(prev_gray, gray, has_prev)
+            st, det, out, extras = _track_body(
+                params, track_state, frame_u8, warp, packed=packed
+            )
+            return st, det, out, extras, gray
+
+        track_step_flow = jax.jit(_flow_body)
+
+        @jax.jit
+        def track_chunk_flow(params, track_state, frames_u8, prev_gray,
+                             has_prev):
+            # warps depend only on consecutive frame PAIRS — all known
+            # up front, so they are estimated VMAPPED before the scan.
+            # (Running the LK inside the scan was measured ~7ms/frame:
+            # 36 sequential Gauss-Newton steps of tiny ops are latency-
+            # bound; vmapped across the chunk they amortize to ~1.5ms
+            # total.)
+            grays = gmc_tpu.frame_to_gray(frames_u8)
+            prevs = jnp.concatenate([prev_gray[None], grays[:-1]])
+            hp = jnp.concatenate(
+                [has_prev[None], jnp.ones((grays.shape[0] - 1,), bool)]
+            )
+            est = jax.vmap(_estimate)(prevs, grays, hp)
+
+            def step(st, inp):
+                frame, warp = inp
+                st, det, out, extras = _track_body(params, st, frame, warp)
+                return st, (out, extras)
+
+            track_state, (outs, extras) = jax.lax.scan(
+                step, track_state, (frames_u8, est)
+            )
+            return track_state, outs, extras, grays[-1]
+
+        @jax.jit
+        def batch_step_flow(params, track_states, frames_u8, prev_grays,
+                            has_prev):
+            packed = _packed_prefix(params)
+            return jax.vmap(
+                lambda st, f, pg, hp: _flow_body(
+                    params, st, f, pg, hp, packed=packed
+                )
+            )(track_states, frames_u8, prev_grays, has_prev)
+
+        return _StepSet(
+            detect_step, track_step, track_chunk, batch_step, lp,
+            track_step_flow, track_chunk_flow, batch_step_flow,
+        )
 
     def _get_step(self, src_hw):
         if src_hw not in self._steps:
@@ -549,6 +647,8 @@ class Pipeline:
         parity with ``persist=True`` at yolo_multi_model.py:41)."""
         self.track_state = init_track_state(self.track_slots, feat_dim=self.feat_dim)
         self.gmc.reset()
+        self._flow_gray = None
+        self._flow_has = False
 
     def predict(self, frame_bgr: np.ndarray) -> Results:
         """Detect without tracking (reference ``model.predict``,
@@ -585,6 +685,17 @@ class Pipeline:
             orig_img=orig_img,
         )
 
+    def _flow_state(self):
+        """(prev_gray, has_prev) device inputs for the flow_tpu step."""
+        from strongsort_yolo_tpu.track import gmc_tpu
+
+        if self._flow_gray is None:
+            self._flow_gray = jnp.zeros(
+                (gmc_tpu.BASE_H, gmc_tpu.BASE_W), jnp.float32
+            )
+            self._flow_has = False
+        return self._flow_gray, jnp.asarray(self._flow_has)
+
     def track_async(self, frame_bgr: np.ndarray, warp=None):
         """Dispatch one track step WITHOUT materializing the outputs.
 
@@ -597,12 +708,23 @@ class Pipeline:
         """
         src_hw = frame_bgr.shape[:2]
         steps = self._get_step(src_hw)
-        if warp is None:
-            warp = self.gmc.apply(frame_bgr)
-        self.track_state, det, out, extras = steps.track_step(
-            self.params, self.track_state, jnp.asarray(frame_bgr),
-            jnp.asarray(warp),
-        )
+        frame_dev = jnp.asarray(frame_bgr)
+        if warp is None and steps.track_step_flow is not None:
+            # flow_tpu: warp estimated INSIDE the step (one program —
+            # see _StepSet docstring); prev gray is threaded state
+            pg, hp = self._flow_state()
+            (self.track_state, det, out, extras,
+             self._flow_gray) = steps.track_step_flow(
+                self.params, self.track_state, frame_dev, pg, hp
+            )
+            self._flow_has = True
+        else:
+            if warp is None:
+                warp = self.gmc.apply(frame_bgr)
+            self.track_state, det, out, extras = steps.track_step(
+                self.params, self.track_state, frame_dev,
+                jnp.asarray(warp),
+            )
         return (out, extras, src_hw, steps.lp, frame_bgr)
 
     def materialize(self, handle) -> Results:
@@ -629,13 +751,22 @@ class Pipeline:
         t = len(frames_bgr)
         src_hw = frames_bgr[0].shape[:2]
         steps = self._get_step(src_hw)
-        warps = np.stack([self.gmc.apply(f) for f in frames_bgr])
-        self.track_state, outs, extras = steps.track_chunk(
-            self.params,
-            self.track_state,
-            jnp.asarray(np.asarray(frames_bgr)),
-            jnp.asarray(warps),
-        )
+        if steps.track_chunk_flow is not None:
+            pg, hp = self._flow_state()
+            (self.track_state, outs, extras,
+             self._flow_gray) = steps.track_chunk_flow(
+                self.params, self.track_state,
+                jnp.asarray(np.asarray(frames_bgr)), pg, hp,
+            )
+            self._flow_has = True
+        else:
+            warps = np.stack([self.gmc.apply(f) for f in frames_bgr])
+            self.track_state, outs, extras = steps.track_chunk(
+                self.params,
+                self.track_state,
+                jnp.asarray(np.asarray(frames_bgr)),
+                jnp.asarray(warps),
+            )
         outs = jax.tree.map(np.asarray, outs)
         extras = {k: np.asarray(v) for k, v in extras.items()}
         return [
@@ -724,6 +855,11 @@ class BatchedPipeline:
             self._stream_sharding = stream_sh
         self._steps = pipeline._get_step(self.src_hw)
         self.gmcs = [make_gmc(pipeline.gmc.method) for _ in range(num_streams)]
+        # device GMC (track/gmc_tpu.py): all S warps come from one
+        # vmapped device dispatch off the already-staged frames
+        self._flow_tpu = pipeline.gmc.method == "flow_tpu"
+        self._prev_grays = None
+        self._has_prev = np.zeros(num_streams, bool)
         self.states = jax.vmap(
             lambda _: init_track_state(
                 pipeline.track_slots, feat_dim=pipeline.feat_dim
@@ -741,6 +877,7 @@ class BatchedPipeline:
             lambda batched, f: batched.at[i].set(f), self.states, fresh
         )
         self.gmcs[i].reset()
+        self._has_prev[i] = False
 
     def compute_warps(self, frames: np.ndarray) -> np.ndarray:
         """Per-stream GMC warps (host OpenCV work) — exposed separately
@@ -754,13 +891,35 @@ class BatchedPipeline:
         materializing (JAX async dispatch — see Pipeline.track_async).
         ``warps``: optional precomputed (S, 2, 3) GMC warps (from
         ``compute_warps``); computed inline when omitted."""
-        if warps is None:
-            warps = self.compute_warps(frames)
         p = self.pipeline
+        if warps is None and not self._flow_tpu:
+            warps = self.compute_warps(frames)
         frames = jnp.asarray(frames)
-        warps = jnp.asarray(warps)
         if self._stream_sharding is not None:
             frames = jax.device_put(frames, self._stream_sharding)
+        if warps is None:
+            # flow_tpu: prev grays threaded through the SAME program
+            # (warp estimated in-jit — see _StepSet docstring)
+            from strongsort_yolo_tpu.track import gmc_tpu
+
+            if self._prev_grays is None:
+                self._prev_grays = jnp.zeros(
+                    (self.num_streams, gmc_tpu.BASE_H, gmc_tpu.BASE_W),
+                    jnp.float32,
+                )
+                if self._stream_sharding is not None:
+                    self._prev_grays = jax.device_put(
+                        self._prev_grays, self._stream_sharding
+                    )
+            (self.states, det, out, extras,
+             self._prev_grays) = self._steps.batch_step_flow(
+                p.params, self.states, frames, self._prev_grays,
+                jnp.asarray(self._has_prev),
+            )
+            self._has_prev[:] = True
+            return (out, extras)
+        warps = jnp.asarray(warps)
+        if self._stream_sharding is not None:
             warps = jax.device_put(warps, self._stream_sharding)
         self.states, det, out, extras = self._steps.batch_step(
             p.params, self.states, frames, warps

@@ -70,7 +70,8 @@ class ByteTrackConfig:
     match_thresh: float = 0.8
     fuse_score: bool = True
     # BoT-SORT extras
-    gmc_method: str = "sparseOptFlow"  # host-side (track/gmc.py)
+    gmc_method: str = "sparseOptFlow"  # host cv2 (track/gmc.py) or
+    # "flow_tpu": device dense pyramidal LK (track/gmc_tpu.py)
     proximity_thresh: float = 0.5
     appearance_thresh: float = 0.25
     with_reid: bool = False

@@ -106,5 +106,12 @@ class SparseOptFlowGMC:
         return w
 
 
-def make_gmc(method: str) -> SparseOptFlowGMC:
+def make_gmc(method: str):
+    """GMC factory: "sparseOptFlow"/"ecc" (host cv2, ultralytics
+    parity), "flow_tpu" (device dense pyramidal LK — track/gmc_tpu.py),
+    or "none"."""
+    if method == "flow_tpu":
+        from strongsort_yolo_tpu.track.gmc_tpu import FlowTpuGMC
+
+        return FlowTpuGMC()
     return SparseOptFlowGMC(method=method if method else "none")
