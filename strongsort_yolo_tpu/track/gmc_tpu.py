@@ -43,13 +43,20 @@ _ITERS = 12  # Gauss-Newton steps per level (tiny images — VPU noise)
 
 def frame_to_gray(frame_u8: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W, 3) BGR uint8 -> (..., BASE_H, BASE_W) f32 gray
-    (cv2 BT.601 luma), resized with the MXU matmul resampler."""
-    x = frame_u8.astype(jnp.float32)
+    (cv2 BT.601 luma), resized with the MXU matmul resampler.
+
+    Luma + resize run in bf16 (u8 values are exact in bf16; the
+    estimator's prefilter blurs away sub-lsb noise anyway) — the f32
+    version cost ~1.5ms/step at S=16, half the whole GMC budget."""
+    x = frame_u8.astype(jnp.bfloat16)
     # BGR weights (cv2.COLOR_BGR2GRAY)
     gray = (
-        0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
+        jnp.bfloat16(0.114) * x[..., 0]
+        + jnp.bfloat16(0.587) * x[..., 1]
+        + jnp.bfloat16(0.299) * x[..., 2]
     )
-    return resize_bilinear_matmul(gray[..., None], BASE_H, BASE_W)[..., 0]
+    small = resize_bilinear_matmul(gray[..., None], BASE_H, BASE_W)
+    return small[..., 0].astype(jnp.float32)
 
 
 def _pool2(img: jnp.ndarray) -> jnp.ndarray:
@@ -107,7 +114,26 @@ def _sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
 _MAX_SHIFT = 32  # max per-level translation, level pixels
 
 
-def _lk_level(prev, cur, params):
+def _lk_level(prev, cur, params, method: str | None = None):
+    """Backend dispatch: the Pallas VMEM-resident kernel on TPU
+    (ops/pallas/lk_kernel.py — the XLA lowering re-streams every
+    plane from HBM for each of the ~36 Gauss-Newton iterations), the
+    plain XLA version elsewhere. Identical math."""
+    if method is None:
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method.startswith("pallas"):
+        from strongsort_yolo_tpu.ops.pallas.lk_kernel import (
+            lk_level_pallas,
+        )
+
+        return lk_level_pallas(
+            prev, cur, jnp.asarray(params), m=_MAX_SHIFT, iters=_ITERS,
+            interpret=(method == "pallas_interpret"),
+        )
+    return _lk_level_xla(prev, cur, params)
+
+
+def _lk_level_xla(prev, cur, params):
     """Refine affine params on one pyramid level (forward-additive
     Gauss-Newton LK).
 
@@ -213,13 +239,16 @@ def _lk_level(prev, cur, params):
     return jax.lax.fori_loop(0, _ITERS, it, params)
 
 
-@functools.partial(jax.jit, static_argnames=("scale_x", "scale_y"))
+@functools.partial(
+    jax.jit, static_argnames=("scale_x", "scale_y", "method")
+)
 def estimate_warp(
     prev_gray: jnp.ndarray,
     cur_gray: jnp.ndarray,
     *,
     scale_x: float = 1.0,
     scale_y: float = 1.0,
+    method: str | None = None,
 ) -> jnp.ndarray:
     """(BASE_H, BASE_W) grays -> (2, 3) affine warp prev->cur in
     ORIGINAL frame coords (scale_* = original/base pixel ratios)."""
@@ -233,7 +262,9 @@ def estimate_warp(
     for lvl in range(_LEVELS - 1, -1, -1):
         # params are centered width-normalized (_lk_level) and thus
         # LEVEL-INVARIANT: coarse-to-fine needs no rescaling
-        params = _lk_level(_blur(pyr_p[lvl]), _blur(pyr_c[lvl]), params)
+        params = _lk_level(
+            _blur(pyr_p[lvl]), _blur(pyr_c[lvl]), params, method=method
+        )
 
     a11, a12, tx, a21, a22, ty = (params[i] for i in range(6))
     # normalized -> base pixel coords

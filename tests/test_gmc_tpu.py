@@ -67,6 +67,21 @@ def test_recovers_small_affine():
     np.testing.assert_allclose(w[:, 2], a[:, 2], atol=0.6)
 
 
+def test_pallas_kernel_recovers_translation():
+    """The VMEM-resident LK kernel (interpret mode on CPU) recovers
+    the same motion as the XLA path."""
+    prev = _smooth_image(7)
+    cur = jnp.roll(prev, (-2, 4), axis=(0, 1))
+    w = np.asarray(
+        estimate_warp(prev, cur, method="pallas_interpret")
+    )
+    np.testing.assert_allclose(w[:, :2], np.eye(2), atol=6e-3)
+    np.testing.assert_allclose(w[0, 2], 4, atol=0.4)
+    np.testing.assert_allclose(w[1, 2], -2, atol=0.4)
+    w_xla = np.asarray(estimate_warp(prev, cur, method="xla"))
+    np.testing.assert_allclose(w, w_xla, atol=0.15)
+
+
 def test_scale_back_to_original_coords():
     prev = _smooth_image(4)
     cur = jnp.roll(prev, (0, 4), axis=(0, 1))
