@@ -132,6 +132,33 @@ def test_make_gmc_factory(method):
     assert g.method == "flow_tpu"
 
 
+def test_batched_flow_tpu_on_mesh(rng):
+    """flow_tpu BatchedPipeline over a dp mesh: the gray-state tensor
+    shards with the streams and the in-step warps compile/execute."""
+    from strongsort_yolo_tpu.config import DetectorConfig
+    from strongsort_yolo_tpu.parallel.mesh import make_mesh
+    from strongsort_yolo_tpu.pipeline import Pipeline
+    from strongsort_yolo_tpu.track.bytetrack import ByteTrackConfig
+
+    pipe = Pipeline(
+        DetectorConfig(weights="yolov8n", imgsz=160, half=False, max_det=16),
+        tracker=ByteTrackConfig(
+            tracker_type="botsort", gmc_method="flow_tpu"
+        ),
+        track_slots=16, tracker_max_dets=16,
+    )
+    S = 4
+    frames = rng.integers(0, 255, (S, 240, 320, 3), dtype=np.uint8)
+    bp = pipe.track_batch_prepare(S, (240, 320), mesh=make_mesh(4, tp=1))
+    bp.step(np.asarray(frames))
+    bp.step(np.asarray(frames))
+    assert bp._prev_grays.shape == (S, BASE_H, BASE_W)
+    # per-stream gray state sharded over dp like the tracker state
+    assert bp._prev_grays.sharding.shard_shape(
+        bp._prev_grays.shape
+    )[0] == 1
+
+
 def test_pipeline_flow_tpu_end_to_end(rng):
     """flow_tpu through BOTH pipeline paths: sequential track (device
     warp handle, no sync) and BatchedPipeline (vmapped warps off the
