@@ -445,9 +445,10 @@ def model_apply(
     rows themselves).
 
     pack: space-to-depth packed prefix (see backbone_apply). Default
-    (None) enables it on accelerator backends whenever the input size
+    (None) enables it on the TPU backend whenever the input size
     allows — the transform is numerically exact (same math, re-indexed
-    weights), but on CPU the 4x-channel convs just cost extra FLOPs.
+    weights) and measured faster there; on CPU/GPU the 4x-FLOP packed
+    convs are unmeasured, so other backends stay opt-in (pack=True).
 
     stem_out: precomputed packed stem output (letterbox folded into
     the stem — ops/stem_fuse); ``x`` may be None then.
@@ -459,7 +460,7 @@ def model_apply(
             packed_prefix is not None
             or stem_out is not None
             or (
-                jax.default_backend() != "cpu"
+                jax.default_backend() == "tpu"
                 and x.shape[-3] % 4 == 0
                 and x.shape[-2] % 4 == 0
             )

@@ -85,6 +85,11 @@ def solve_assignment(
 
     thresh = jnp.asarray(thresh, jnp.float32)
 
+    if method not in (None, "pallas", "xla"):
+        raise ValueError(
+            f"solve_assignment: unknown method {method!r} "
+            "(expected None, 'pallas', or 'xla')"
+        )
     if method is None:
         method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if method == "pallas":

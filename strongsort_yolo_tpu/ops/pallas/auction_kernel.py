@@ -130,10 +130,13 @@ def _auction_kernel(
     )
 
     # materialize the matching, applying the cost-limit filter in
-    # VMEM: a real match stands iff its benefit is >= 0 (cost <= t,
-    # with the XLA path's 1e-6/range tolerance).
+    # VMEM on the RAW cost (cost <= t + 1e-6), matching the XLA
+    # path's _filter_matches absolute tolerance exactly — filtering
+    # the normalized benefit would scale the tolerance by crange
+    # (up to ~2e6 with clipped costs).
     own_mat = jnp.logical_and(
-        owner == row_ids, w >= -1e-6
+        jnp.logical_and(owner == row_ids, valid > 0.5),
+        cost <= t + 1e-6,
     )  # (R, C) filtered ownership
     r2c = jnp.min(
         jnp.where(own_mat, col_ids, jnp.int32(c)), axis=1, keepdims=True

@@ -14,10 +14,14 @@ reductions and solved by an unrolled scalar Cholesky. vmap adds the
 stream grid dimension. Measured: the full 3-level estimate dropped to
 microseconds-per-stream territory (see BENCH numbers).
 
-Math (identical to gmc_tpu._lk_level_xla): forward-additive LK over a
-centered width-normalized affine; translation sampled bilinearly, the
-small linear part linearized into the residual; hard residual
-trimming; Levenberg damping.
+Math (same formulation as gmc_tpu._lk_level_xla): forward-additive LK
+over a centered width-normalized affine; translation sampled
+bilinearly, the small linear part linearized into the residual; hard
+residual trimming; Levenberg damping. One deliberate difference: the
+validity mask here is tighter at the border ([1, w-2.001] vs the XLA
+path's [0, w-1.001]) because the rotate-based taps need the ±1
+gradient neighbors in-bounds, so border pixels weight differently and
+warps may drift slightly between backends (tests allow 0.15 px).
 """
 
 from __future__ import annotations

@@ -709,6 +709,15 @@ class Pipeline:
         src_hw = frame_bgr.shape[:2]
         steps = self._get_step(src_hw)
         frame_dev = jnp.asarray(frame_bgr)
+        if warp is not None and steps.track_step_flow is not None:
+            # flow_tpu threads the previous gray frame through the step;
+            # taking an externally-estimated warp would leave that state
+            # stale and make the NEXT in-step LK span 2+ frames.
+            raise ValueError(
+                "explicit warps are not supported with gmc_method="
+                "'flow_tpu' (the warp is estimated inside the step); "
+                "use gmc_method='sparseOptFlow'/'ecc' for host warps"
+            )
         if warp is None and steps.track_step_flow is not None:
             # flow_tpu: warp estimated INSIDE the step (one program —
             # see _StepSet docstring); prev gray is threaded state
@@ -892,6 +901,12 @@ class BatchedPipeline:
         ``warps``: optional precomputed (S, 2, 3) GMC warps (from
         ``compute_warps``); computed inline when omitted."""
         p = self.pipeline
+        if warps is not None and self._flow_tpu:
+            raise ValueError(
+                "explicit warps are not supported with gmc_method="
+                "'flow_tpu' (warps are estimated inside the batched "
+                "step; the previous-gray state would go stale)"
+            )
         if warps is None and not self._flow_tpu:
             warps = self.compute_warps(frames)
         frames = jnp.asarray(frames)
