@@ -89,6 +89,10 @@ class StreamStats:
     errors: int = 0  # frames skipped on processing errors (SURVEY §5.3)
     failed: str | None = None  # stream-fatal error, if any
     stage_times: dict | None = None  # per-stage profile (SURVEY §5.1)
+    dropped_births: int = 0  # births lost to track-slot overflow
+    truncated_dets: int = 0  # valid dets that never reached association
+    # (ranked below tracker_max_dets — crowding indicator; the
+    # reference feeds every det >= track_low_thresh to the tracker)
 
 
 def _stream_name(source: str, used: set[str]) -> str:
@@ -239,17 +243,37 @@ class _StreamCtx:
             if cv2.waitKey(1) & 0xFF == ord("q"):
                 self.stop = True
 
-    def finish(self, frames: int):
+    def finish(self, frames: int, track_state=None, stream_idx=None):
+        """track_state: final TrackState (single or batched over
+        streams; ``stream_idx`` selects the stream in the batched
+        case) — source of the device-side drop/truncation counters."""
         elapsed = max(time.time() - self._t0, 1e-9)
         self.stats.frames = frames
         self.stats.mean_fps = frames / elapsed
         self.stats.counts = self.counter.counts() if self.cfg.count else None
         self.stats.stage_times = self.timers.summary()
+        if track_state is not None:
+            db = np.asarray(track_state.dropped_births)
+            td = np.asarray(track_state.truncated_dets)
+            if stream_idx is not None:
+                db, td = db[stream_idx], td[stream_idx]
+            self.stats.dropped_births = int(db)
+            self.stats.truncated_dets = int(td)
+            if (self.stats.dropped_births or self.stats.truncated_dets):
+                print(
+                    f"[WARN] {self.name}: {self.stats.dropped_births} "
+                    f"births dropped (track_slots), "
+                    f"{self.stats.truncated_dets} detections truncated "
+                    f"(tracker_max_dets) — raise the respective limit "
+                    f"for crowded scenes"
+                )
         if self.events:
             self.events.log(
                 "stream_end", stream=self.name, frames=frames,
                 mean_fps=round(self.stats.mean_fps, 2),
                 errors=self.stats.errors, counts=self.stats.counts,
+                dropped_births=self.stats.dropped_births,
+                truncated_dets=self.stats.truncated_dets,
             )
         if self.writer:
             self.writer.release()
@@ -358,7 +382,9 @@ def process_video(
     finally:
         if hasattr(reader, "release"):
             reader.release()
-        stats = ctx.finish(frame_id)
+        stats = ctx.finish(
+            frame_id, track_state=pipeline.track_state if cfg.track else None
+        )
     return stats
 
 
@@ -492,7 +518,10 @@ def _run_group_batched(
 
     for t in threads:
         t.join(timeout=5.0)
-    return [ctx.finish(int(n)) for ctx, n in zip(ctxs, frame_ids)]
+    return [
+        ctx.finish(int(n), track_state=bp.states, stream_idx=s)
+        for s, (ctx, n) in enumerate(zip(ctxs, frame_ids))
+    ]
 
 
 def run(cfg: AppConfig, sources=None) -> list[StreamStats]:

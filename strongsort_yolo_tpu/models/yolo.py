@@ -20,6 +20,8 @@ import math
 from typing import Any
 
 import jax
+
+from strongsort_yolo_tpu.ops import runtime
 import jax.numpy as jnp
 
 from strongsort_yolo_tpu.models import common as C
@@ -460,7 +462,7 @@ def model_apply(
             packed_prefix is not None
             or stem_out is not None
             or (
-                jax.default_backend() == "tpu"
+                runtime.target_platform() == "tpu"
                 and x.shape[-3] % 4 == 0
                 and x.shape[-2] % 4 == 0
             )

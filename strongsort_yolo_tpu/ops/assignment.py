@@ -37,6 +37,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+
+from strongsort_yolo_tpu.ops import runtime
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,7 +93,7 @@ def solve_assignment(
             "(expected None, 'pallas', or 'xla')"
         )
     if method is None:
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+        method = "pallas" if runtime.target_platform() == "tpu" else "xla"
     if method == "pallas":
         # normalization, auction and cost-limit filtering all happen
         # inside the kernel in VMEM (ops/pallas/auction_kernel.py)
@@ -104,7 +106,7 @@ def solve_assignment(
             eps_rel=eps_rel,
             max_rounds_factor=max_rounds_factor,
             # interpret mode off-TPU so method="pallas" is testable on CPU
-            interpret=jax.default_backend() != "tpu",
+            interpret=runtime.target_platform() != "tpu",
         )
         return AssignmentResult(r2c, c2r)
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+
+from strongsort_yolo_tpu.ops import runtime
 import jax.numpy as jnp
 
 from strongsort_yolo_tpu.ops.boxes import box_iou
@@ -209,7 +211,7 @@ def _nms_on_candidates(
     shifted = top_boxes + offset[:, None] * jnp.ones((1, 4), top_boxes.dtype)
 
     if backend == "auto":
-        on_tpu = jax.devices()[0].platform != "cpu"
+        on_tpu = runtime.target_platform() == "tpu"
         backend = "pallas" if (on_tpu and k % 128 == 0 and k <= 512) else "xla"
     if backend == "pallas":
         from strongsort_yolo_tpu.ops.pallas.nms_kernel import pallas_nms_keep

@@ -500,9 +500,12 @@ class Pipeline:
             det, extras = detect(params, frame_u8, extras_k=t_max,
                                  packed=packed)
             # association sees the top tracker_max_dets rows (exact:
-            # NMS output is confidence-sorted)
+            # NMS output is confidence-sorted); dets that ranked below
+            # the cut are counted so crowding is observable
+            # (StreamStats.truncated_dets / the truncated_dets event)
             tb, ts = det.boxes[:t_max], det.scores[:t_max]
             tc, tv = det.classes[:t_max], det.valid[:t_max]
+            n_trunc = jnp.sum(det.valid[t_max:]).astype(jnp.int32)
             if is_strongsort:
                 feats = embed(frame_u8, det)[:t_max]
                 track_state, out = strongsort_step(
@@ -519,6 +522,9 @@ class Pipeline:
                     track_state, tb, ts, tc, tv, tracker_cfg,
                     det_feats=feats, warp=warp,
                 )
+            track_state = track_state._replace(
+                truncated_dets=track_state.truncated_dets + n_trunc
+            )
             return track_state, det, out, extras
 
         track_step = jax.jit(_track_body)

@@ -29,6 +29,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from strongsort_yolo_tpu.ops import runtime
 import jax.numpy as jnp
 import numpy as np
 
@@ -120,7 +122,7 @@ def _lk_level(prev, cur, params, method: str | None = None):
     plane from HBM for each of the ~36 Gauss-Newton iterations), the
     plain XLA version elsewhere. Identical math."""
     if method is None:
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+        method = "pallas" if runtime.target_platform() == "tpu" else "xla"
     if method.startswith("pallas"):
         from strongsort_yolo_tpu.ops.pallas.lk_kernel import (
             lk_level_pallas,

@@ -40,6 +40,10 @@ class TrackState(NamedTuple):
     next_id: jnp.ndarray  # () int32 next track id to hand out
     frame_id: jnp.ndarray  # () int32 current frame counter
     dropped_births: jnp.ndarray  # () int32 births lost to slot overflow
+    truncated_dets: jnp.ndarray  # () int32 valid detections that never
+    # reached association because they ranked below tracker_max_dets
+    # (reference parity gap: ultralytics feeds EVERY det above
+    # track_low_thresh to the tracker, max_det=1000 — SURVEY.md D9)
 
 
 class TrackOutputs(NamedTuple):
@@ -71,4 +75,5 @@ def init_track_state(num_slots: int = 128, feat_dim: int = 0) -> TrackState:
         next_id=jnp.int32(1),
         frame_id=jnp.int32(0),
         dropped_births=jnp.int32(0),
+        truncated_dets=jnp.int32(0),
     )
