@@ -366,7 +366,7 @@ class Pipeline:
         )
 
         def detect(params, frame_u8, extras_k: int | None = None,
-                   packed=None):
+                   packed=None, resized=None):
             """extras_k caps how many detection rows get masks/keypoints
             computed: in track mode only the top ``tracker_max_dets``
             rows can ever be referenced by a track (NMS output is
@@ -382,9 +382,12 @@ class Pipeline:
                 )
 
                 prefix, p3path = packed
-                x = frame_u8.astype(compute_dtype)  # BGR, 0..255
-                if (lp.new_h, lp.new_w) != tuple(src_hw):
-                    x = resize_bilinear_matmul(x, lp.new_h, lp.new_w)
+                if resized is None:
+                    x = frame_u8.astype(compute_dtype)  # BGR, 0..255
+                    if (lp.new_h, lp.new_w) != tuple(src_hw):
+                        x = resize_bilinear_matmul(x, lp.new_h, lp.new_w)
+                else:
+                    x = resized  # flow_tpu already resized (shared luma)
                 stem_out = fused_stem_apply(
                     prefix["stem6"], x, fuse_plan, dtype=compute_dtype,
                 )
@@ -491,14 +494,15 @@ class Pipeline:
         # transform (256 batched 8x8 matmuls/frame — measurable)
         use_warp = self.gmc.method != "none"
 
-        def _track_body(params, track_state, frame_u8, warp, packed=None):
+        def _track_body(params, track_state, frame_u8, warp, packed=None,
+                        resized=None):
             """One frame's full track step: detect → (embed) →
             associate. Extras (masks/keypoints) are computed for the
             top ``tracker_max_dets`` rows — the only rows a track's
             ``det_index`` can reference."""
             warp = warp if use_warp else None
             det, extras = detect(params, frame_u8, extras_k=t_max,
-                                 packed=packed)
+                                 packed=packed, resized=resized)
             # association sees the top tracker_max_dets rows (exact:
             # NMS output is confidence-sorted); dets that ranked below
             # the cut are counted so crowding is observable
@@ -591,10 +595,28 @@ class Pipeline:
 
         def _flow_body(params, track_state, frame_u8, prev_gray, has_prev,
                        packed=None):
-            gray = gmc_tpu.frame_to_gray(frame_u8)
+            if packed is not None and fuse_plan is not None:
+                # share the detector's letterbox-scale resize with the
+                # gray pyramid: one full-resolution pass instead of two
+                # (the second 1080p luma+resize cost ~0.9 ms/step at
+                # S=16 — NOTES.md round-2 perf backlog)
+                from strongsort_yolo_tpu.ops.letterbox import (
+                    resize_bilinear_matmul,
+                )
+
+                resized = frame_u8.astype(compute_dtype)  # BGR, 0..255
+                if (lp.new_h, lp.new_w) != tuple(src_hw):
+                    resized = resize_bilinear_matmul(
+                        resized, lp.new_h, lp.new_w
+                    )
+                gray = gmc_tpu.gray_from_resized(resized)
+            else:
+                resized = None
+                gray = gmc_tpu.frame_to_gray(frame_u8)
             warp = _estimate(prev_gray, gray, has_prev)
             st, det, out, extras = _track_body(
-                params, track_state, frame_u8, warp, packed=packed
+                params, track_state, frame_u8, warp, packed=packed,
+                resized=resized,
             )
             return st, det, out, extras, gray
 

@@ -61,6 +61,35 @@ def frame_to_gray(frame_u8: jnp.ndarray) -> jnp.ndarray:
     return small[..., 0].astype(jnp.float32)
 
 
+def gray_from_resized(resized_bgr: jnp.ndarray) -> jnp.ndarray:
+    """(..., h, w, 3) BGR float (raw 0..255 range, any compute dtype)
+    -> (..., BASE_H, BASE_W) f32 gray.
+
+    The pyramid base derived from the DETECTOR'S resized intermediate
+    instead of a second full-resolution pass: the packed detect path
+    already resizes the frame to letterbox scale on the MXU
+    (pipeline.detect), so the luma only has to touch that small image
+    (~9x less HBM traffic at 1080p; the full-res luma+resize cost
+    ~0.9 ms/step at S=16 — NOTES.md round-2 backlog). Geometry is
+    identical: the letterbox resize is a uniform full-frame scale, so
+    base coords map to original coords with the same scale_x/scale_y.
+    Numerics differ from ``frame_to_gray`` only by the two-stage
+    resampling (resize-to-letterbox then resize-to-base vs one direct
+    resize) — a sub-lsb difference the LK prefilter smooths out
+    (equivalence asserted in test_gmc_tpu.py)."""
+    x = resized_bgr.astype(jnp.bfloat16)
+    gray = (
+        jnp.bfloat16(0.114) * x[..., 0]
+        + jnp.bfloat16(0.587) * x[..., 1]
+        + jnp.bfloat16(0.299) * x[..., 2]
+    )
+    if gray.shape[-2:] != (BASE_H, BASE_W):
+        gray = resize_bilinear_matmul(
+            gray[..., None], BASE_H, BASE_W
+        )[..., 0]
+    return gray.astype(jnp.float32)
+
+
 def _pool2(img: jnp.ndarray) -> jnp.ndarray:
     h, w = img.shape
     return img.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))

@@ -124,6 +124,39 @@ def test_frame_to_gray_shape(rng):
     assert float(g.min()) >= 0.0 and float(g.max()) <= 255.0
 
 
+def test_gray_from_resized_matches_frame_to_gray(rng):
+    """The shared-luma path (pyramid base derived from the detector's
+    letterbox-scale resize — pipeline._flow_body packed branch) must
+    agree with the direct full-resolution path up to the two-stage
+    resampling difference: warp estimation tolerates far more than a
+    few gray levels (the LK prefilter blurs the base anyway)."""
+    from strongsort_yolo_tpu.ops.letterbox import resize_bilinear_matmul
+    from strongsort_yolo_tpu.track.gmc_tpu import gray_from_resized
+
+    # smooth synthetic scene — resampling-order differences show up as
+    # sub-lsb noise, not structure (random noise would alias in BOTH
+    # paths differently and measure nothing)
+    yy, xx = np.mgrid[0:1080, 0:1920].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 97.0) * np.cos(yy / 61.0)
+    frame = np.repeat(base[..., None], 3, axis=2).astype(np.uint8)
+    frame = jnp.asarray(frame)
+
+    direct = frame_to_gray(frame)
+    resized = resize_bilinear_matmul(
+        frame.astype(jnp.bfloat16), 360, 640
+    )
+    shared = gray_from_resized(resized)
+    assert shared.shape == direct.shape == (BASE_H, BASE_W)
+    np.testing.assert_allclose(
+        np.asarray(shared), np.asarray(direct), atol=3.0
+    )
+    # exact-size input: luma only, no second resize
+    same = gray_from_resized(
+        jnp.zeros((BASE_H, BASE_W, 3), jnp.bfloat16) + 100.0
+    )
+    np.testing.assert_allclose(np.asarray(same), 100.0, atol=0.5)
+
+
 @pytest.mark.parametrize("method", ["flow_tpu"])
 def test_make_gmc_factory(method):
     from strongsort_yolo_tpu.track.gmc import make_gmc
