@@ -109,6 +109,54 @@ def calibrate_candidates(pipe, frame, conf, target):
     pipe.params = params
 
 
+def calibrate_anchor_based(pipe, frame, conf, target):
+    """v5/v7 load calibration: their heads emit fully-decoded
+    sigmoid scores (obj*cls), so the cls-logit trick above doesn't
+    apply. Instead the objectness bias entries are shifted by a delta
+    found by bisection on the compiled forward (score is monotone in
+    the obj logit): ~10 cheap evals of one jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.ops.letterbox import letterbox, letterbox_params
+
+    lp = letterbox_params(*frame.shape[:2], pipe.det_cfg.imgsz)
+    img = letterbox(jnp.asarray(frame), lp, dtype=pipe.compute_dtype)
+    if pipe._is_v5:
+        from strongsort_yolo_tpu.models.yolov5 import yolov5_apply as fn
+    else:
+        from strongsort_yolo_tpu.models.yolov7 import yolov7_apply as fn
+    cfg = pipe.model_cfg
+
+    def shift(params, delta):
+        def bump(b):
+            g = b.reshape(cfg.na, -1).at[:, 4].add(delta)
+            return g.reshape(b.shape)
+
+        det = params["detect"]
+        return {
+            **params,
+            "detect": {**det, "m": [{**m, "b": bump(m["b"])} for m in det["m"]]},
+        }
+
+    @jax.jit
+    def count_over(params, delta):
+        out = fn(shift(params, delta), img[None], cfg,
+                 compute_dtype=pipe.compute_dtype)
+        return jnp.sum(jnp.max(out["scores"][0], -1) >= conf)
+
+    lo, hi = -25.0, 25.0
+    for _ in range(14):
+        mid = 0.5 * (lo + hi)
+        n = int(count_over(pipe.params, jnp.float32(mid)))
+        if n < target:
+            lo = mid
+        else:
+            hi = mid
+    pipe.params = shift(pipe.params, jnp.float32(hi))
+    return int(count_over(pipe.params, jnp.float32(0.0)))
+
+
 def step_flops(jitted, *args) -> float:
     """FLOPs of one compiled step from XLA's cost analysis."""
     try:
@@ -304,10 +352,11 @@ def main() -> None:
     fps8, mfu8 = run_batched(8)
     fps16, mfu16 = run_batched(16)
     fps32, mfu32 = run_batched(32)
-    S, fps_agg, mfu_agg = max(
-        [(8, fps8, mfu8), (16, fps16, mfu16), (32, fps32, mfu32)],
-        key=lambda t: t[1],
-    )
+    fps48, mfu48 = run_batched(48, n=35)
+    fps64, mfu64 = run_batched(64, n=25)
+    scaling = [(8, fps8, mfu8), (16, fps16, mfu16), (32, fps32, mfu32),
+               (48, fps48, mfu48), (64, fps64, mfu64)]
+    S, fps_agg, mfu_agg = max(scaling, key=lambda t: t[1])
 
     # reference-default-config batched figure: botsort GMC active on
     # every stream (device flow_tpu, estimated in-step)
@@ -331,6 +380,110 @@ def main() -> None:
     fps_flow_b = sb * 50 / (time.perf_counter() - t0)
     log(f"aggregate {sb}-stream gmc=flow_tpu: {fps_flow_b:.1f} fps/chip")
 
+    # S=32 flow_tpu figure (VERDICT r2 #7: GMC cost at the headline
+    # batch size, with the shared-luma resize)
+    sb2 = 32
+    frames_sb2 = jnp.asarray(
+        np.stack([pool[i % len(pool)] for i in range(sb2)])
+    )
+    bpf2 = flow_pipe.track_batch_prepare(sb2, (h, w))
+    states_f2 = bpf2.states
+    pgs2 = gmc_tpu.frame_to_gray(frames_sb2)
+    hps2 = jnp.ones((sb2,), bool)
+    for _ in range(3):
+        states_f2, _d, out_f2, _e, pgs2 = fsteps.batch_step_flow(
+            flow_pipe.params, states_f2, frames_sb2, pgs2, hps2
+        )
+    jax.block_until_ready(states_f2)
+    t0 = time.perf_counter()
+    for _ in range(35):
+        states_f2, _d, out_f2, _e, pgs2 = fsteps.batch_step_flow(
+            flow_pipe.params, states_f2, frames_sb2, pgs2, hps2
+        )
+    jax.block_until_ready(states_f2)
+    fps_flow_b32 = sb2 * 35 / (time.perf_counter() - t0)
+    log(f"aggregate {sb2}-stream gmc=flow_tpu: {fps_flow_b32:.1f} fps/chip")
+
+    # batched StrongSORT (VERDICT r2 #8): S=16 streams with the OSNet
+    # ReID embed in every stream's step
+    bps = ss_pipe.track_batch_prepare(sb, (h, w))
+    frames_ss = jnp.asarray(np.stack([pool[i % len(pool)] for i in range(sb)]))
+    warps_ss = jnp.tile(warp[None], (sb, 1, 1))
+    for _ in range(3):
+        bps.states, _d, _o, _e = bps._steps.batch_step(
+            ss_pipe.params, bps.states, frames_ss, warps_ss
+        )
+    jax.block_until_ready(bps.states)
+    t0 = time.perf_counter()
+    for _ in range(35):
+        bps.states, _d, _o, _e = bps._steps.batch_step(
+            ss_pipe.params, bps.states, frames_ss, warps_ss
+        )
+    jax.block_until_ready(bps.states)
+    fps_ss_b = sb * 35 / (time.perf_counter() - t0)
+    log(f"aggregate {sb}-stream strongsort: {fps_ss_b:.1f} fps/chip")
+
+    # ---- BASELINE.json config matrix (VERDICT r2 #4): the reference's
+    # default model is yolo11n-pose (yolo_multi_model.py:17), and the
+    # BASELINE configs name seg and the v5s/v7 StrongSORT backends.
+    # Single-stream chunked + S=16 batched for each.
+    def bench_config(weights, task_label):
+        cfg_i = DetectorConfig(weights=weights, half=True, max_det=1000)
+        p_i = Pipeline(cfg_i, tracker=tracker, track_slots=256)
+        if p_i._is_v5 or p_i._is_v7:
+            ndet = calibrate_anchor_based(
+                p_i, pool[0], cfg_i.conf, TARGET_DETS
+            )
+        else:
+            calibrate_candidates(p_i, pool[0], cfg_i.conf, TARGET_DETS)
+            ndet = None
+        st_i = p_i._get_step((h, w))
+        state_i = p_i.track_state
+        state_i, outs_i, _ = st_i.track_chunk(
+            p_i.params, state_i, dev_frames, warps
+        )
+        jax.block_until_ready(outs_i)
+        n_frames = 100
+        t0 = time.perf_counter()
+        for _ in range(n_frames // chunk):
+            state_i, outs_i, _ = st_i.track_chunk(
+                p_i.params, state_i, dev_frames, warps
+            )
+        jax.block_until_ready((state_i, outs_i))
+        fps_1 = n_frames / (time.perf_counter() - t0)
+
+        bp_i = p_i.track_batch_prepare(sb, (h, w))
+        for _ in range(3):
+            bp_i.states, dets_i, _o, _e = bp_i._steps.batch_step(
+                p_i.params, bp_i.states, frames_ss, warps_ss
+            )
+        jax.block_until_ready(bp_i.states)
+        if ndet is None:
+            ndet = int(np.asarray(dets_i.count)[0])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            bp_i.states, dets_i, _o, _e = bp_i._steps.batch_step(
+                p_i.params, bp_i.states, frames_ss, warps_ss
+            )
+        jax.block_until_ready(bp_i.states)
+        fps_b = sb * 20 / (time.perf_counter() - t0)
+        log(
+            f"config {weights}{task_label}: single {fps_1:.1f} fps, "
+            f"S={sb} {fps_b:.1f} fps/chip ({ndet} dets/frame)"
+        )
+        return round(fps_1, 2), round(fps_b, 2)
+
+    matrix = {}
+    for wname, key in [
+        ("yolo11n-pose", "yolo11n_pose"),   # reference default model
+        ("yolov8n-seg", "yolov8n_seg"),
+        ("yolov5s", "yolov5s"),
+        ("yolov7", "yolov7"),
+    ]:
+        f1, fb = bench_config(wname, "")
+        matrix[f"cfg_{key}_fps"] = f1
+        matrix[f"cfg_{key}_s16_fps"] = fb
+
     platform = jax.devices()[0].platform
     result = {
         "metric": f"e2e_1080p_track_fps_per_chip_{S}stream_yolov8n_maxdet1000_{platform}",
@@ -343,11 +496,16 @@ def main() -> None:
             "single_stream_gmc_sparseoptflow_fps": round(fps_gmc, 2),
             "single_stream_gmc_flowtpu_fps": round(fps_gmc_tpu, 2),
             "aggregate_fps_s16_gmc_flowtpu": round(fps_flow_b, 2),
+            "aggregate_fps_s32_gmc_flowtpu": round(fps_flow_b32, 2),
             "single_stream_strongsort_fps": round(fps_ss, 2),
+            "aggregate_fps_s16_strongsort": round(fps_ss_b, 2),
             "aggregate_fps_s8": round(fps8, 2),
             "aggregate_fps_s16": round(fps16, 2),
             "aggregate_fps_s32": round(fps32, 2),
+            "aggregate_fps_s48": round(fps48, 2),
+            "aggregate_fps_s64": round(fps64, 2),
             "aggregate_mfu": round(mfu_agg, 4),
+            **matrix,
             "gflop_per_frame": round(flops_frame / 1e9, 2),
             "max_det": det_cfg.max_det,
             "streams": S,

@@ -1,0 +1,146 @@
+"""Pure-decimation letterbox resize as a Pallas kernel.
+
+** MEASURED NEGATIVE RESULT — NOT WIRED INTO THE PIPELINE. **
+On the v5e the strided-row input DMA dominates: a PURE COPY with this
+blocking (no compute at all) already costs 12.2 ms at S=32/1080p
+(~5.5 GB/s — the DMA degenerates to per-row strided runs), while the
+dense matmul resize reads the frame contiguously and measures 1.28 ms
+in-step. Variants tried: bf16 selection dot, int8 MXU dot, xor-cast;
+all ~12.4 ms. Kept (with its bit-exactness test) as the record of the
+approach so future rounds don't re-walk it; see NOTES.md round-3
+lessons. If revisited: the fix must keep HBM reads contiguous (e.g.
+full-row blocks + in-VMEM sublane selection), not index-mapped strides.
+
+Original design rationale:
+
+The packed detect path feeds the model a letterbox-scale frame
+(pipeline.model_forward). For the common video geometries the
+cv2.INTER_LINEAR resize is PURE DECIMATION (1920x1080 -> 640x360
+samples exactly every 3rd pixel — ops/letterbox._decimation_stride),
+yet the dense matmul formulation that replaced it in round 1 computes
+the full (new, src) interpolation contraction: ~7 GFLOP/frame of
+99.7%-zero work, measured 1.28 ms of the 11.1 ms S=32 step (round-3
+device profile). XLA alternatives were measured worse (strided slices
+scalarize, block-selection einsums relayout — NOTES.md); this kernel
+was the attempted TPU-native answer:
+
+- ROW decimation is free: the frame is viewed as
+  (B, new_h, sy, W*3) — a layout-preserving reshape — and the kernel's
+  BlockSpec index map picks sub-row ``off_y`` of every row group, so
+  the strided HBM reads are just block DMAs.
+- COLUMN decimation is a constant banded SELECTION MATMUL on the MXU:
+  384 output lanes (128 pixels x 3 channels) consume exactly
+  384*sx input lanes, so lane-tiles of the selection matrix repeat
+  with no t-dependence and the whole matrix is a small VMEM-resident
+  constant. ~sx*0.77 GFLOP/frame at 1080p instead of 7.
+
+Output is BIT-EXACT vs ops/letterbox.resize_bilinear_matmul for these
+geometries (both sample the same single-tap pixels; uint8 values are
+exact in bfloat16) — asserted in tests/test_letterbox.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from strongsort_yolo_tpu.ops.letterbox import _decimation_stride
+
+# output lanes per grid step: 128 pixels x 3 channels
+_OUT_BLOCK = 384
+
+
+def decimation_plan(src_h: int, src_w: int, new_h: int, new_w: int):
+    """(off_y, sy, off_x, sx) if the resize is pure decimation AND the
+    kernel's blocking applies, else None."""
+    dec_y = _decimation_stride(new_h, src_h)
+    dec_x = _decimation_stride(new_w, src_w)
+    if dec_y is None or dec_x is None:
+        return None
+    off_y, sy = dec_y
+    off_x, sx = dec_x
+    if src_h != new_h * sy:  # row-group view needs an exact split
+        return None
+    if (new_w * 3) % _OUT_BLOCK or (src_w * 3) % (_OUT_BLOCK * sx):
+        return None
+    return off_y, sy, off_x, sx
+
+
+def _select_matrix(sx: int, off_x: int, dtype) -> jnp.ndarray:
+    """(384*sx, 384) one-hot column-selection matrix: output lane
+    m = 3*j + c (pixel j, channel c) reads input lane
+    3*sx*j + 3*off_x + c."""
+    m = jnp.arange(_OUT_BLOCK)
+    j, c = m // 3, m % 3
+    src = 3 * sx * j + 3 * off_x + c  # (384,)
+    rows = jnp.arange(_OUT_BLOCK * sx)[:, None]
+    return (rows == src[None, :]).astype(dtype)
+
+
+def _kernel(x_ref, s_ref, o_ref):
+    # x_ref: (1, R, 384*sx) uint8; s_ref: (384*sx, 384); o: (1, R, 384)
+    # Mosaic has no direct uint8 -> bfloat16 cast; hop through int32
+    x = x_ref[0].astype(jnp.int32).astype(s_ref.dtype)
+    o_ref[0] = jax.lax.dot(x, s_ref[:], preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("new_h", "new_w", "dtype",
+                                             "interpret"))
+def decimate_resize(
+    frames_u8: jnp.ndarray,  # (B, src_h, src_w, 3) uint8 (or any int/float)
+    new_h: int,
+    new_w: int,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> (B, new_h, new_w, 3) ``dtype``, raw value range. Caller must
+    have checked ``decimation_plan`` is not None."""
+    b, src_h, src_w, _c = frames_u8.shape
+    plan = decimation_plan(src_h, src_w, new_h, new_w)
+    assert plan is not None, (src_h, src_w, new_h, new_w)
+    off_y, sy, off_x, sx = plan
+
+    # the sy row-group dim folds into the lane axis: sub-row off_y of
+    # row group r occupies lane block [off_y*src_w*3, (off_y+1)*src_w*3)
+    # — an integer number of in_blocks (checked by decimation_plan), so
+    # the strided row selection is just a block-index offset
+    x = frames_u8.reshape(b, new_h, sy * src_w * 3)
+    sel = _select_matrix(sx, off_x, dtype)
+
+    # full row dim per block: uint8 sublane tiling wants 32-row
+    # multiples, which new_h generally isn't — "equal to the overall
+    # dim" is always legal, and one (new_h, 1152) u8 block is ~400 KB
+    rows = new_h
+    in_block = _OUT_BLOCK * sx
+    w_off = off_y * (src_w * 3) // in_block
+    grid = (b, new_h // rows, (new_w * 3) // _OUT_BLOCK)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, in_block),
+                lambda bi, r, w: (bi, r, w_off + w),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (in_block, _OUT_BLOCK),
+                lambda bi, r, w: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, _OUT_BLOCK),
+            lambda bi, r, w: (bi, r, w),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, new_h, new_w * 3), dtype),
+        interpret=interpret,
+    )(x, sel)
+    return out.reshape(b, new_h, new_w, 3)

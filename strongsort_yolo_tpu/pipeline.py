@@ -365,55 +365,77 @@ class Pipeline:
             stem_fuse_plan(lp, lp.new_h, lp.new_w) if use_pack else None
         )
 
-        def detect(params, frame_u8, extras_k: int | None = None,
-                   packed=None, resized=None):
-            """extras_k caps how many detection rows get masks/keypoints
-            computed: in track mode only the top ``tracker_max_dets``
-            rows can ever be referenced by a track (NMS output is
-            confidence-sorted), so extras for rows beyond that are
-            wasted HBM — (max_det, 160, 160) mask tensors dominate the
-            step's memory otherwise."""
+        def _resize_frames(frames_u8):
+            """(B, H, W, 3) uint8 -> (B, new_h, new_w, 3) compute
+            dtype, raw 0..255 BGR (the packed stem consumes raw range).
+
+            Stays the dense matmul: every decimation alternative was
+            re-measured SLOWER at S=32 in round 3 (Pallas selection
+            kernels 12 ms — strided-row DMA bound, see
+            ops/pallas/resize_kernel.py; conv1x1/s3 5.9 ms; strided
+            slice 21 ms; matmul 1.28 in-step)."""
+            if (lp.new_h, lp.new_w) == tuple(src_hw):
+                return frames_u8.astype(compute_dtype)
+            from strongsort_yolo_tpu.ops.letterbox import (
+                resize_bilinear_matmul,
+            )
+
+            return resize_bilinear_matmul(
+                frames_u8.astype(compute_dtype), lp.new_h, lp.new_w
+            )
+
+        def model_forward(params, frames_u8, packed=None, resized=None):
+            """Raw batched forward: (B, H, W, 3) uint8 BGR -> head
+            outputs with a leading batch axis.
+
+            Runs UNVMAPPED even in the multi-stream step so XLA sees a
+            true batch-B convolution stack: a batch-1 conv inside a
+            per-stream vmap gets [S,1,H,W,C] batch-in-sublane layouts
+            that ran the conv+SiLU fusions 3-6x off roofline at S=32
+            (round-3 device profile — 5.1 ms of an 11.6 ms step)."""
             if packed is not None and fuse_plan is not None:
-                from strongsort_yolo_tpu.ops.letterbox import (
-                    resize_bilinear_matmul,
-                )
                 from strongsort_yolo_tpu.ops.stem_fuse import (
                     fused_stem_apply,
                 )
 
                 prefix, p3path = packed
                 if resized is None:
-                    x = frame_u8.astype(compute_dtype)  # BGR, 0..255
-                    if (lp.new_h, lp.new_w) != tuple(src_hw):
-                        x = resize_bilinear_matmul(x, lp.new_h, lp.new_w)
+                    x = _resize_frames(frames_u8)  # BGR, 0..255
                 else:
                     x = resized  # flow_tpu already resized (shared luma)
                 stem_out = fused_stem_apply(
                     prefix["stem6"], x, fuse_plan, dtype=compute_dtype,
                 )
-                out = model_fn(
+                return model_fn(
                     params, None, cfg, compute_dtype=compute_dtype,
-                    packed_prefix=prefix, stem_out=stem_out[None],
+                    packed_prefix=prefix, stem_out=stem_out,
                     packed_p3=p3path,
                     out_dtype=None,  # nms_from_logits casts candidates
                 )
+            img = letterbox(frames_u8, lp, dtype=compute_dtype)
+            if is_v8family:
+                kw = {"pack": False} if packed is None else {
+                    "packed_prefix": packed[0],
+                    "packed_p3": packed[1]}
+                kw["out_dtype"] = None
             else:
-                img = letterbox(frame_u8, lp, dtype=compute_dtype)
-                if is_v8family:
-                    kw = {"pack": False} if packed is None else {
-                        "packed_prefix": packed[0],
-                        "packed_p3": packed[1]}
-                    kw["out_dtype"] = None
-                else:
-                    kw = {}
-                out = model_fn(
-                    params, img[None], cfg, compute_dtype=compute_dtype,
-                    **kw
-                )
+                kw = {}
+            return model_fn(
+                params, img, cfg, compute_dtype=compute_dtype, **kw
+            )
+
+        def postprocess(out, extras_k: int | None = None):
+            """One frame's head outputs (NO leading batch axis) ->
+            (det, extras). extras_k caps how many detection rows get
+            masks/keypoints computed: in track mode only the top
+            ``tracker_max_dets`` rows can ever be referenced by a
+            track (NMS output is confidence-sorted), so extras for
+            rows beyond that are wasted HBM — (max_det, 160, 160)
+            mask tensors dominate the step's memory otherwise."""
             if "boxes" in out:  # anchor-based v5/v7: already decoded
                 det = non_max_suppression(
-                    out["boxes"][0],
-                    out["scores"][0],
+                    out["boxes"],
+                    out["scores"],
                     conf_thres=det_cfg.conf,
                     iou_thres=det_cfg.iou,
                     max_det=det_cfg.max_det,
@@ -423,8 +445,8 @@ class Pipeline:
             else:
                 # fused fast path: select candidates before DFL decode
                 det = nms_from_logits(
-                    out["box_logits"][0],
-                    out["cls_logits"][0],
+                    out["box_logits"],
+                    out["cls_logits"],
                     anchors,
                     strides,
                     reg_max=cfg.reg_max,
@@ -441,15 +463,15 @@ class Pipeline:
             valid = det.valid[:ek]
             extras = {}
             if cfg.task == "pose":
-                kpt_rows = out["kpt_raw"][0][idx]
+                kpt_rows = out["kpt_raw"][idx]
                 kpts = decode_keypoints(
                     kpt_rows, anchors[idx], strides[idx], cfg.kpt[0]
                 )
                 extras["keypoints"] = scale_keypoints(kpts, gain, pad, orig_hw)
             elif cfg.task == "segment":
-                coef_rows = out["mask_coef"][0][idx]
+                coef_rows = out["mask_coef"][idx]
                 extras["masks"] = process_masks(
-                    coef_rows, out["proto"][0],
+                    coef_rows, out["proto"],
                     # crop in model-input coords
                     jnp.where(valid[:, None],
                               det.boxes[:ek] * gain + jnp.concatenate([pad, pad]),
@@ -457,6 +479,18 @@ class Pipeline:
                     (size, size),
                 )
             return det, extras
+
+        def detect(params, frame_u8, extras_k: int | None = None,
+                   packed=None, resized=None):
+            """Single-frame detect: batched forward on [None] + the
+            per-frame postprocess (identical program to the pre-split
+            version — the model always saw a batch-1 input here)."""
+            out = model_forward(
+                params, frame_u8[None], packed=packed,
+                resized=None if resized is None else resized[None],
+            )
+            out = jax.tree.map(lambda a: a[0], out)
+            return postprocess(out, extras_k)
 
         @jax.jit
         def detect_step(params, frame_u8):
@@ -494,15 +528,12 @@ class Pipeline:
         # transform (256 batched 8x8 matmuls/frame — measurable)
         use_warp = self.gmc.method != "none"
 
-        def _track_body(params, track_state, frame_u8, warp, packed=None,
-                        resized=None):
-            """One frame's full track step: detect → (embed) →
-            associate. Extras (masks/keypoints) are computed for the
-            top ``tracker_max_dets`` rows — the only rows a track's
-            ``det_index`` can reference."""
+        def _assoc_tail(params, track_state, frame_u8, det, extras, warp):
+            """Everything after detection: (embed) → associate →
+            lifecycle. Shared by the single-stream body and the
+            batched step (where it is the only vmapped part — the
+            model forward runs as one true batch-S program)."""
             warp = warp if use_warp else None
-            det, extras = detect(params, frame_u8, extras_k=t_max,
-                                 packed=packed, resized=resized)
             # association sees the top tracker_max_dets rows (exact:
             # NMS output is confidence-sorted); dets that ranked below
             # the cut are counted so crowding is observable
@@ -531,37 +562,61 @@ class Pipeline:
             )
             return track_state, det, out, extras
 
+        def _track_body(params, track_state, frame_u8, warp, packed=None,
+                        resized=None):
+            """One frame's full track step: detect → (embed) →
+            associate. Extras (masks/keypoints) are computed for the
+            top ``tracker_max_dets`` rows — the only rows a track's
+            ``det_index`` can reference."""
+            det, extras = detect(params, frame_u8, extras_k=t_max,
+                                 packed=packed, resized=resized)
+            return _assoc_tail(params, track_state, frame_u8, det,
+                               extras, warp)
+
         track_step = jax.jit(_track_body)
 
         @jax.jit
         def track_chunk(params, track_state, frames_u8, warps):
-            """Offline/throughput mode: T frames in ONE dispatch via
-            lax.scan — identical sequential semantics to T track_step
-            calls, but host dispatch overhead is amortized T-fold.
-            frames_u8: (T, H, W, 3); warps: (T, 2, 3). Raw detections
-            are not stacked — only track outputs + extras leave the
-            scan (the (T, max_det, ...) det tensors are dead weight)."""
+            """Offline/throughput mode: T frames in ONE dispatch —
+            identical sequential semantics to T track_step calls, but
+            host dispatch overhead is amortized T-fold AND detection
+            is frame-independent, so the model forward runs as ONE
+            batch-T program before the scan (batch-1 convs inside the
+            scan body were the single-stream throughput ceiling);
+            only the stateful tracker tail scans. frames_u8:
+            (T, H, W, 3); warps: (T, 2, 3). Raw detections are not
+            stacked out — only track outputs + extras leave the scan
+            (the (T, max_det, ...) det tensors are dead weight)."""
+            packed = _packed_prefix(params)
+            out = model_forward(params, frames_u8, packed=packed)
+            dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
 
             def step(st, inp):
-                frame, warp = inp
-                st, det, out, extras = _track_body(params, st, frame, warp)
-                return st, (out, extras)
+                frame, det, ex, warp = inp
+                st, _det, tout, ex2 = _assoc_tail(
+                    params, st, frame, det, ex, warp
+                )
+                return st, (tout, ex2)
 
             track_state, (outs, extras) = jax.lax.scan(
-                step, track_state, (frames_u8, warps)
+                step, track_state, (frames_u8, dets, extras, warps)
             )
             return track_state, outs, extras
 
-        # batched multi-stream step: vmap the SAME body over a leading
-        # stream axis (params broadcast) — per-stream GMC warps, ReID
-        # feats, and seg/pose extras all ride along (SURVEY.md §2.5 DP:
-        # streams are independent, so the batch is collective-free)
+        # batched multi-stream step: ONE true batch-S model forward
+        # (unvmapped — see model_forward), then vmap only the per-frame
+        # postprocess and the tracker tail over the stream axis
+        # (params broadcast) — per-stream GMC warps, ReID feats, and
+        # seg/pose extras all ride along (SURVEY.md §2.5 DP: streams
+        # are independent, so the batch is collective-free)
         @jax.jit
         def batch_step(params, track_states, frames_u8, warps):
             packed = _packed_prefix(params)  # hoisted out of the vmap
+            out = model_forward(params, frames_u8, packed=packed)
+            dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
             return jax.vmap(
-                lambda st, f, w: _track_body(params, st, f, w, packed=packed)
-            )(track_states, frames_u8, warps)
+                lambda st, f, d, e, w: _assoc_tail(params, st, f, d, e, w)
+            )(track_states, frames_u8, dets, extras, warps)
 
         if self.gmc.method != "flow_tpu":
             return _StepSet(
@@ -630,33 +685,57 @@ class Pipeline:
             # (Running the LK inside the scan was measured ~7ms/frame:
             # 36 sequential Gauss-Newton steps of tiny ops are latency-
             # bound; vmapped across the chunk they amortize to ~1.5ms
-            # total.)
-            grays = gmc_tpu.frame_to_gray(frames_u8)
+            # total.) Like track_chunk, the model forward runs batch-T
+            # before the scan, sharing its resize with the gray pyramid.
+            packed = _packed_prefix(params)
+            if packed is not None and fuse_plan is not None:
+                resized = _resize_frames(frames_u8)
+                grays = gmc_tpu.gray_from_resized(resized)
+            else:
+                resized = None
+                grays = gmc_tpu.frame_to_gray(frames_u8)
             prevs = jnp.concatenate([prev_gray[None], grays[:-1]])
             hp = jnp.concatenate(
                 [has_prev[None], jnp.ones((grays.shape[0] - 1,), bool)]
             )
             est = jax.vmap(_estimate)(prevs, grays, hp)
+            out = model_forward(params, frames_u8, packed=packed,
+                                resized=resized)
+            dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
 
             def step(st, inp):
-                frame, warp = inp
-                st, det, out, extras = _track_body(params, st, frame, warp)
-                return st, (out, extras)
+                frame, det, ex, warp = inp
+                st, _det, tout, ex2 = _assoc_tail(
+                    params, st, frame, det, ex, warp
+                )
+                return st, (tout, ex2)
 
             track_state, (outs, extras) = jax.lax.scan(
-                step, track_state, (frames_u8, est)
+                step, track_state, (frames_u8, dets, extras, est)
             )
             return track_state, outs, extras, grays[-1]
 
         @jax.jit
         def batch_step_flow(params, track_states, frames_u8, prev_grays,
                             has_prev):
+            """Batched flow_tpu step: the resize, gray pyramid, and
+            model forward all run as true batch-S programs; only the
+            LK estimate, postprocess, and tracker tail are vmapped."""
             packed = _packed_prefix(params)
-            return jax.vmap(
-                lambda st, f, pg, hp: _flow_body(
-                    params, st, f, pg, hp, packed=packed
-                )
-            )(track_states, frames_u8, prev_grays, has_prev)
+            if packed is not None and fuse_plan is not None:
+                resized = _resize_frames(frames_u8)
+                grays = gmc_tpu.gray_from_resized(resized)
+            else:
+                resized = None
+                grays = gmc_tpu.frame_to_gray(frames_u8)
+            est = jax.vmap(_estimate)(prev_grays, grays, has_prev)
+            out = model_forward(params, frames_u8, packed=packed,
+                                resized=resized)
+            dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
+            sts, dets, touts, ex = jax.vmap(
+                lambda st, f, d, e, w: _assoc_tail(params, st, f, d, e, w)
+            )(track_states, frames_u8, dets, extras, est)
+            return sts, dets, touts, ex, grays
 
         return _StepSet(
             detect_step, track_step, track_chunk, batch_step, lp,

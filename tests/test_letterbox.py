@@ -93,3 +93,30 @@ def test_matches_cv2_resize_close(rng):
     crop = ours[top : top + p.new_h, : p.new_w] * 255.0
     # bilinear implementations differ slightly at edges; compare loosely
     assert np.mean(np.abs(crop - ref.astype(np.float32))) < 2.0
+
+
+def test_decimate_resize_kernel_bitexact():
+    """Pallas pure-decimation resize == the dense matmul resize,
+    bit-exact (both sample the same single-tap pixels; uint8 is exact
+    in bfloat16). 1080p -> 640x360 is the packed detect path's case."""
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.ops.letterbox import resize_bilinear_matmul
+    from strongsort_yolo_tpu.ops.pallas.resize_kernel import (
+        decimate_resize,
+        decimation_plan,
+    )
+
+    rng = np.random.default_rng(3)
+    f = rng.integers(0, 255, (2, 1080, 1920, 3), dtype=np.uint8)
+    assert decimation_plan(1080, 1920, 360, 640) == (1, 3, 1, 3)
+    a = np.asarray(
+        decimate_resize(jnp.asarray(f), 360, 640, interpret=True)
+    ).astype(np.float32)
+    b = np.asarray(
+        resize_bilinear_matmul(jnp.asarray(f).astype(jnp.bfloat16), 360, 640)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(a, b)
+    # non-decimation geometries are rejected (fallback stays matmul)
+    assert decimation_plan(720, 1280, 360, 640) is None  # 2x: 2-tap
+    assert decimation_plan(1080, 1920, 368, 640) is None
