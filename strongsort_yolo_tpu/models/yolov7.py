@@ -242,14 +242,28 @@ def yolov7_apply(
     cfg: Yolov7Config = Yolov7Config(),
     *,
     compute_dtype=jnp.float32,
+    packed_prefix: Params | None = None,
 ) -> dict[str, jnp.ndarray]:
-    """-> {"boxes" (B, A, 4) xyxy input pixels, "scores" (B, A, nc)}."""
+    """-> {"boxes" (B, A, 4) xyxy input pixels, "scores" (B, A, nc)}.
+
+    packed_prefix: precomputed ``ops.pack.pack_v7_prefix(params)`` —
+    runs the full-res stem space-to-depth packed (exact weight
+    re-indexing; see pack_v7_prefix) and rejoins the plain path at
+    elan2's unpacked @/4 input.
+    """
     p = params
     x = x.astype(compute_dtype)
-    y = C.conv_apply(p["stem0"], x)
-    y = C.conv_apply(p["stem1"], y, stride=2)
-    y = C.conv_apply(p["stem2"], y)
-    y = C.conv_apply(p["down2"], y, stride=2)
+    if packed_prefix is not None:
+        pp = packed_prefix
+        y = C.conv_apply(pp["stem6"], x, stride=2, pad=2)
+        y = C.conv_apply(pp["stem1"], y, stride=2)
+        y = C.conv_apply(pp["stem2"], y)
+        y = C.conv_apply(pp["down2t"], y, pad=(1, 0))
+    else:
+        y = C.conv_apply(p["stem0"], x)
+        y = C.conv_apply(p["stem1"], y, stride=2)
+        y = C.conv_apply(p["stem2"], y)
+        y = C.conv_apply(p["down2"], y, stride=2)
     y = elan_apply(p["elan2"], y)
     y = mp_apply(p["mp3"], y)
     p3 = elan_apply(p["elan3"], y)  # /8, 512

@@ -159,15 +159,18 @@ def _pack_block(node: Any, *, stride_keys: dict[int, int] | None = None) -> Any:
     return node
 
 
-def fuse_stem_s2d(p: Params) -> Params:
+def fuse_stem_s2d(p: Params, *, stride: int = 2) -> Params:
     """Fold the input space-to-depth INTO the stem conv.
 
-    The packed stem is a 3x3/s2 conv over ``space_to_depth(x)``; by the
+    The packed stem is a 3x3/s conv over ``space_to_depth(x)``; by the
     same index algebra as :func:`pack_conv3_weight` that composition is
-    exactly ONE 6x6/s4 conv on the raw (unpacked) frame:
+    exactly ONE 6x6 conv of stride 2s on the raw (unpacked) frame:
 
-        conv3x3_s2(s2d(x), W') == conv6x6_s4_pad2(x, W'')
+        conv3x3_s(s2d(x), W') == conv6x6_s(2s)_pad2(x, W'')
         W''[2B+oy, 2Bx+ox, c, q] = W'[B, Bx, c*4 + oy*2 + ox, q]
+
+    (s=2 for the v8/v11 stem -> apply stride=4; s=1 for the v7 stem0
+    -> apply stride=2; pad=2 either way.)
 
     On TPU ``space_to_depth`` lowers to a transpose (a pure HBM copy of
     the whole frame); this removes it from the hot path entirely while
@@ -176,7 +179,7 @@ def fuse_stem_s2d(p: Params) -> Params:
     w = p["w"]
     assert w.shape[0] == 3 and w.shape[1] == 3, w.shape
     ci, co = w.shape[2], w.shape[3]
-    wp = pack_conv3_weight(w, stride=2)          # (3, 3, 4ci, 4co)
+    wp = pack_conv3_weight(w, stride=stride)     # (3, 3, 4ci, 4co)
     wp = wp.reshape(3, 3, ci, 2, 2, 4 * co)      # [B, Bx, c, oy, ox, q]
     wp = wp.transpose(0, 3, 1, 4, 2, 5)          # [B, oy, Bx, ox, c, q]
     out = {"w": wp.reshape(6, 6, ci, 4 * co)}
@@ -273,6 +276,27 @@ def repeat4(x: jnp.ndarray) -> jnp.ndarray:
     spatial dims as z is just each channel repeated 4x (all four
     packed positions of an output 2x2 share the source pixel)."""
     return jnp.repeat(x, 4, axis=-1)
+
+
+def pack_v7_prefix(p: Params) -> Params:
+    """Pack the yolov7 stem: the layers running at the full 640/320
+    planes with 32-64 channels, where the round-3 device profile shows
+    XLA spending ~620 us/frame on pure layout-conversion copies of the
+    640x640x32 tensor alone (NOTES.md).
+
+    Original: stem0 3->32 k3 s1 @640, stem1 32->64 k3 s2, stem2 64->64
+    k3 s1 @320, down2 64->128 k3 s2 -> @160. Packed: one 6x6/s2 conv
+    on the raw letterboxed frame (s2d folded into stem0), stem1/stem2
+    at half spatial with 4x channels, and down2 in transition form
+    consuming the packed tensor and emitting the UNPACKED @160 output
+    — elan2 onward runs unchanged. Exact re-indexing, same math.
+    """
+    return {
+        "stem6": fuse_stem_s2d(p["stem0"], stride=1),
+        "stem1": pack_conv_params(p["stem1"], stride=2),
+        "stem2": pack_conv_params(p["stem2"], stride=1),
+        "down2t": pack_transition_params(p["down2"]),
+    }
 
 
 def pack_backbone_prefix(bb: Params) -> Params:

@@ -185,7 +185,13 @@ class Pipeline:
         reid_topk: int = 128,  # dets embedded per frame (fixed shape)
         tracker_max_dets: int = 128,  # dets fed to association (the NMS
         # output is confidence-sorted, so the top rows are exact; this
-        # bounds the auction problem size independently of max_det)
+        # bounds the auction problem size independently of max_det).
+        # Measured cost of raising it (v5e, 1080p, ~45-det load,
+        # tools/prof/_prof_maxdets.py): 256 is ~free batched (+1% S=16)
+        # and -9% single-stream; 512 costs ~10-13%. Scenes denser than
+        # the limit trip the truncated_dets counter + app WARN — raise
+        # the limit there (the reference feeds every det above
+        # track_low_thresh to the tracker, max_det=1000).
     ):
         self.det_cfg = det_cfg
         import os
@@ -338,11 +344,27 @@ class Pipeline:
         use_pack = (
             is_v8family and size % 4 == 0 and jax.default_backend() != "cpu"
         )
+        # v7 keeps two full-resolution stride-1 stem convs; packing
+        # them (ops/pack.pack_v7_prefix) removes the 640x640x32 layout
+        # copies the round-3 profile flagged. Measured (v5e, 1080p):
+        # step device time 3340 -> 2410 us/frame; single-stream 275 ->
+        # 355 fps, S=16 534 -> 580 fps/chip (NOTES.md).
+        from strongsort_yolo_tpu.ops import runtime
+
+        use_pack_v7 = (
+            self._is_v7
+            and size % 4 == 0
+            and runtime.target_platform() == "tpu"
+        )
 
         def _packed_prefix(params):
             """(prefix, p3-path) packed params — hoisted out of the
             vmap body so the weight transforms run once per dispatch.
             p3-path is None when cfg doesn't allow (ops/pack.pack_p3_path)."""
+            if use_pack_v7:
+                from strongsort_yolo_tpu.ops.pack import pack_v7_prefix
+
+                return (pack_v7_prefix(params), None)
             if not use_pack:
                 return None
             from strongsort_yolo_tpu.ops.pack import (
@@ -418,6 +440,8 @@ class Pipeline:
                     "packed_prefix": packed[0],
                     "packed_p3": packed[1]}
                 kw["out_dtype"] = None
+            elif self._is_v7 and packed is not None:
+                kw = {"packed_prefix": packed[0]}
             else:
                 kw = {}
             return model_fn(

@@ -187,3 +187,26 @@ def test_packed_prefix_params_cover_all_convs():
             )
             continue
         check(packed[key], bb[key])
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_packed_v7_prefix_equals_plain(rng, fused):
+    """yolov7_apply(packed_prefix=pack_v7_prefix(p)) == plain forward:
+    the s2d-fused 6x6/s2 stem0, packed stem1/stem2, and the down2
+    transition re-index the exact same math (ops/pack.pack_v7_prefix)."""
+    from strongsort_yolo_tpu.models.yolov7 import (
+        Yolov7Config, fuse_yolov7, init_yolov7, yolov7_apply,
+    )
+    from strongsort_yolo_tpu.ops.pack import pack_v7_prefix
+
+    cfg = Yolov7Config()
+    params = init_yolov7(jax.random.PRNGKey(2), cfg)
+    if fused:
+        params = fuse_yolov7(params)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 160, 3)), jnp.float32)
+    ref = yolov7_apply(params, x, cfg)
+    out = yolov7_apply(params, x, cfg, packed_prefix=pack_v7_prefix(params))
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=1e-4, atol=1e-4, err_msg=k
+        )
