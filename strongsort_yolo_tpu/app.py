@@ -74,6 +74,10 @@ class AppConfig:
     log_events: str | None = None  # JSON-lines event log (SURVEY §5.5)
     resume: bool = False  # restore tracker state + frame position from
     # the per-stream checkpoint and continue (SURVEY §5.4)
+    tracker_max_dets: int = 128  # dets reaching association; measured
+    # cost curve in the Pipeline docstring (crowding -> raise it)
+    reid_topk: int = 128  # dets embedded per frame (ReID trackers);
+    # 64 cuts the embed tax ~in half for scenes under 64 dets
     checkpoint_every: int = 0  # save TrackState every N frames (0: only
     # when --resume is set, which defaults the cadence to 25)
 
@@ -547,6 +551,8 @@ def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
     base = Pipeline(
         det_cfg, tracker=cfg.tracker, seed=cfg.seed,
         reid_weights=cfg.reid_weights,
+        tracker_max_dets=cfg.tracker_max_dets,
+        reid_topk=cfg.reid_topk,
     )
     from strongsort_yolo_tpu.utils.logging import EventLogger
 

@@ -43,6 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--iou", type=float, default=0.4, help="NMS IoU threshold")
     parser.add_argument("--max-det", type=int, default=1000, help="max detections per image")
     parser.add_argument(
+        "--tracker-max-dets", type=int, default=128,
+        help="detections fed to association (raise for crowded scenes; "
+        "measured cost curve in the Pipeline docstring)",
+    )
+    parser.add_argument(
+        "--reid-topk", type=int, default=128,
+        help="detections embedded per frame by the ReID model "
+        "(StrongSORT / BoT-SORT with-reid); 64 halves the embed cost "
+        "for scenes under 64 detections",
+    )
+    parser.add_argument(
         "--classes", nargs="+", type=int, default=None, help="class id filter"
     )
     parser.add_argument("--imgsz", type=int, default=640, help="inference size")
@@ -103,6 +114,8 @@ def main(argv=None) -> int:
         log_events=args.log_events,
         resume=args.resume,
         checkpoint_every=args.checkpoint_every,
+        tracker_max_dets=args.tracker_max_dets,
+        reid_topk=args.reid_topk,
     )
     for s in run(cfg):
         line = f"[{s.source}] frames={s.frames} fps={s.mean_fps:.2f}"
