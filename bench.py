@@ -423,6 +423,27 @@ def main() -> None:
     fps_ss_b = sb * 35 / (time.perf_counter() - t0)
     log(f"aggregate {sb}-stream strongsort: {fps_ss_b:.1f} fps/chip")
 
+    # serving-config StrongSORT: --reid-topk 64 (identical behavior for
+    # scenes under 64 dets; the 128-slot embed tax is the batch-scaling
+    # bottleneck — NOTES.md round-3 profile)
+    ss64_pipe = _P(det_cfg, tracker="strongsort.yaml", track_slots=256,
+                   reid_topk=64)
+    ss64_pipe.params = pipe.params
+    bps64 = ss64_pipe.track_batch_prepare(sb, (h, w))
+    for _ in range(3):
+        bps64.states, _d, _o, _e = bps64._steps.batch_step(
+            ss64_pipe.params, bps64.states, frames_ss, warps_ss
+        )
+    jax.block_until_ready(bps64.states)
+    t0 = time.perf_counter()
+    for _ in range(35):
+        bps64.states, _d, _o, _e = bps64._steps.batch_step(
+            ss64_pipe.params, bps64.states, frames_ss, warps_ss
+        )
+    jax.block_until_ready(bps64.states)
+    fps_ss_b64 = sb * 35 / (time.perf_counter() - t0)
+    log(f"aggregate {sb}-stream strongsort reid_topk=64: {fps_ss_b64:.1f} fps/chip")
+
     # ---- BASELINE.json config matrix (VERDICT r2 #4): the reference's
     # default model is yolo11n-pose (yolo_multi_model.py:17), and the
     # BASELINE configs name seg and the v5s/v7 StrongSORT backends.
@@ -499,6 +520,7 @@ def main() -> None:
             "aggregate_fps_s32_gmc_flowtpu": round(fps_flow_b32, 2),
             "single_stream_strongsort_fps": round(fps_ss, 2),
             "aggregate_fps_s16_strongsort": round(fps_ss_b, 2),
+            "aggregate_fps_s16_strongsort_reid64": round(fps_ss_b64, 2),
             "aggregate_fps_s8": round(fps8, 2),
             "aggregate_fps_s16": round(fps16, 2),
             "aggregate_fps_s32": round(fps32, 2),
