@@ -8,7 +8,7 @@ Two protocols:
 Usage:
     python -m strongsort_yolo_tpu.tools.eval_mot SEQ_DIR [SEQ_DIR...]
         [--tracker botsort.yaml] [--weights yolov8n] [--public]
-        [--strongsort-pp] [--out results_dir]
+        [--strongsort-pp] [--aflink] [--out results_dir]
 """
 
 from __future__ import annotations
@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     ap.add_argument("--conf", type=float, default=0.1)
     ap.add_argument("--strongsort-pp", action="store_true",
                     help="offline GSI + tracklet linking pass")
+    ap.add_argument("--aflink", action="store_true",
+                    help="learned AFLink tracklet linker (shipped "
+                    "assets/aflink_synth.npz) instead of the motion "
+                    "heuristic; implies nothing without --strongsort-pp")
     ap.add_argument("--out", default=None, help="write MOT results txts")
     args = ap.parse_args(argv)
 
@@ -78,7 +82,7 @@ def main(argv=None) -> int:
                 for f, rows in enumerate(hyp)
                 for tid, x1, y1, x2, y2 in rows
             ]
-            out = strongsort_pp(recs)
+            out = strongsort_pp(recs, aflink=args.aflink)
             hyp = [[] for _ in range(len(hyp))]
             for f, tid, x1, y1, x2, y2 in out:
                 if 0 <= f < len(hyp):

@@ -108,21 +108,30 @@ def link_tracklets(
     tracks: dict[int, np.ndarray],
     *,
     scorer=None,
+    cost_fn=None,
     link_thresh: float = 0.8,
 ) -> dict[int, np.ndarray]:
     """Globally link tracklet pairs (end -> start) below the score
-    threshold; merged tracklets keep the earlier id."""
-    scorer = scorer or _default_link_score
+    threshold; merged tracklets keep the earlier id.
+
+    scorer: per-pair callable (a, b) -> cost. cost_fn: whole-matrix
+    callable (list of tracklets in id order) -> (n, n) costs — the
+    learned AFLink path (track/aflink.make_cost_fn) scores every pair
+    in one batched jitted forward this way."""
     ids = sorted(tracks)
     n = len(ids)
     if n < 2:
         return dict(tracks)
-    cost = np.full((n, n), 10.0)
-    for i, a in enumerate(ids):
-        for j, b in enumerate(ids):
-            if a == b:
-                continue
-            cost[i, j] = scorer(tracks[a], tracks[b])
+    if cost_fn is not None:
+        cost = np.asarray(cost_fn([tracks[t] for t in ids]), float)
+    else:
+        scorer = scorer or _default_link_score
+        cost = np.full((n, n), 10.0)
+        for i, a in enumerate(ids):
+            for j, b in enumerate(ids):
+                if a == b:
+                    continue
+                cost[i, j] = scorer(tracks[a], tracks[b])
     r2c, _ = solve_assignment_host(cost, link_thresh)
 
     parent = {tid: tid for tid in ids}
@@ -153,11 +162,25 @@ def strongsort_pp(
     max_gap: int = 20,
     tau: float = 10.0,
     link_thresh: float = 0.8,
+    aflink: bool | str = False,
 ):
-    """Full offline pass: records -> linked+smoothed records."""
+    """Full offline pass: records -> linked+smoothed records.
+
+    aflink: use the learned link classifier (track/aflink.py) instead
+    of the motion heuristic — True loads the shipped
+    ``assets/aflink_synth.npz``, a string loads that checkpoint path.
+    """
     tracks = records_to_tracks(records)
     if link:
-        tracks = link_tracklets(tracks, link_thresh=link_thresh)
+        cost_fn = None
+        if aflink:
+            from strongsort_yolo_tpu.track import aflink as _af
+
+            path = aflink if isinstance(aflink, str) else _af.default_checkpoint()
+            cost_fn = _af.make_cost_fn(_af.load_aflink(path))
+        tracks = link_tracklets(
+            tracks, cost_fn=cost_fn, link_thresh=link_thresh
+        )
     if smooth:
         tracks = gsi(tracks, max_gap=max_gap, tau=tau)
     out = []
