@@ -33,6 +33,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from strongsort_yolo_tpu.models import common as C
 
@@ -223,3 +224,56 @@ def osnet_apply(
     feat = jax.nn.relu(feat)
     feat = feat.astype(jnp.float32)
     return feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Native .npz checkpoint IO (framework-trained embedders — e.g. the
+# synthetic-identity checkpoint assets/osnet_x0_25_synth.npz produced
+# by tools/train_osnet.py; torchreid .pt loading lives in
+# models/porting.load_reid_checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(node, prefix, out):
+    if isinstance(node, dict):
+        for k, v in node.items():
+            _flatten(v, f"{prefix}{k}/", out)
+    elif isinstance(node, (list, tuple)):
+        for i, v in enumerate(node):
+            _flatten(v, f"{prefix}{i}/", out)
+    else:
+        out[prefix[:-1]] = np.asarray(node)
+
+
+def save_osnet_npz(path: str, params: Params, cfg: OsnetConfig) -> None:
+    # one bulk device->host transfer (per-leaf np.asarray pays a
+    # round-trip PER ARRAY — minutes through the axon tunnel)
+    params = jax.device_get(params)
+    flat: dict = {}
+    _flatten(params, "", flat)
+    flat["__variant__"] = np.asarray(cfg.variant)
+    np.savez(path, **flat)
+
+
+def load_osnet_npz(path: str) -> tuple[Params, OsnetConfig]:
+    z = np.load(path, allow_pickle=False)
+    cfg = OsnetConfig(variant=str(z["__variant__"]))
+    root: dict = {}
+    for name in z.files:
+        if name == "__variant__":
+            continue
+        parts = name.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[name])
+
+    def listify(node):
+        """Restore lists saved as {'0': ..., '1': ...} dicts."""
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root), cfg

@@ -258,14 +258,24 @@ class Pipeline:
                 )
                 self.reid_params = reid_params
             elif reid_weights and os.path.exists(reid_weights):
-                # torchreid .pt/.pth checkpoint (SURVEY.md H1)
-                from strongsort_yolo_tpu.models.porting import (
-                    load_reid_checkpoint,
-                )
+                if reid_weights.endswith(".npz"):
+                    # framework-native checkpoint (tools/train_osnet.py)
+                    from strongsort_yolo_tpu.models.osnet import (
+                        load_osnet_npz,
+                    )
 
-                self.reid_params, self.reid_cfg = load_reid_checkpoint(
-                    reid_weights
-                )
+                    self.reid_params, self.reid_cfg = load_osnet_npz(
+                        reid_weights
+                    )
+                else:
+                    # torchreid .pt/.pth checkpoint (SURVEY.md H1)
+                    from strongsort_yolo_tpu.models.porting import (
+                        load_reid_checkpoint,
+                    )
+
+                    self.reid_params, self.reid_cfg = load_reid_checkpoint(
+                        reid_weights
+                    )
             else:
                 self.reid_cfg = OsnetConfig(
                     variant=reid_weights or "osnet_x0_25"
