@@ -104,7 +104,7 @@ class BounceClip:
             yield frame
 
 
-def _run(reid: bool, collect=None):
+def _run(reid: bool, collect=None, reid_weights=None):
     tracker = StrongSortConfig(
         gmc_method="none",
         max_age=60,  # survive the blind window (both arms; the right
@@ -117,6 +117,7 @@ def _run(reid: bool, collect=None):
         DetectorConfig(weights=CKPT, imgsz=160, conf=0.3, iou=0.4,
                        max_det=16, half=False),
         tracker=tracker, track_slots=16, tracker_max_dets=16,
+        reid_weights=reid_weights,
     )
     clip = BounceClip()
     gt_frames, hyp_frames = [], []
@@ -148,3 +149,24 @@ if __name__ == "__main__":  # manual diagnostics
         print("reid" if reid else "motion-only", m)
         for t, rows in log:
             print(t, [(tid, round(x1), round(y1)) for tid, x1, y1, *_ in rows])
+
+
+def test_reid_recovery_with_trained_embedder():
+    """Same occlusion bounce, but with the in-repo TRAINED embedder
+    (assets/osnet_x0_25_synth.npz, tools/train_osnet.py) instead of
+    random-init OSNet: learned appearance must also recover the swap,
+    proving the trained checkpoint works end to end in the tracker."""
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "assets", "osnet_x0_25_synth.npz"
+    )
+    m = _run(reid=True, reid_weights=ckpt)
+    # The trained net separates the two patterns 6x more widely than
+    # random init (same/diff cosine 0.955/0.758 vs 1.000/0.965) but
+    # these gradient squares + wall-gray partial crops are far outside
+    # its clothing-recipe training domain, so the e2e margin is
+    # smaller than the random-init run tuned for this scene. The
+    # load-bearing claim: LEARNED appearance still clearly beats
+    # motion-only association (idf1 0.697, idsw 4 measured on this
+    # clip with the same detector).
+    assert m["idf1"] > 0.73, m
+    assert m["idsw"] <= 3, m  # motion-only: 4
