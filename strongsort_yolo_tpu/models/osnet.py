@@ -196,13 +196,33 @@ def osnet_apply(
     crops: jnp.ndarray,  # (M, 128, 64, 3) in [0,1]
     *,
     compute_dtype=jnp.float32,
+    packed_input: bool = False,
 ) -> jnp.ndarray:
-    """-> (M, feat_dim) L2-normalized appearance embeddings."""
+    """-> (M, feat_dim) L2-normalized appearance embeddings.
+
+    packed_input: ``crops`` is (M, 64, 32, 12) in space-to-depth
+    packing order (ops/crops.crop_and_resize_packed) and the 7x7/2
+    stem runs in transition form (ops/pack.pack_stem7_weight) — exact
+    same math, but the MXU-starved 3-channel full-res crop tensor
+    never exists (NOTES.md OSNet-stem backlog entry).
+    """
     # ImageNet normalization (standard for ReID backbones)
     mean = jnp.asarray([0.485, 0.456, 0.406], compute_dtype)
     std = jnp.asarray([0.229, 0.224, 0.225], compute_dtype)
-    x = (crops.astype(compute_dtype) - mean) / std
-    x = _relu_conv(params["stem"], x, stride=2)
+    if packed_input:
+        from strongsort_yolo_tpu.ops.pack import pack_stem7_weight
+
+        x = (crops.astype(compute_dtype) - jnp.repeat(mean, 4)) / jnp.repeat(
+            std, 4
+        )
+        stem = dict(params["stem"])
+        stem["w"] = pack_stem7_weight(stem["w"])
+        x = jax.nn.relu(
+            C.conv_apply(stem, x, stride=1, pad=(2, 1), act=False, eps=BN_EPS)
+        )
+    else:
+        x = (crops.astype(compute_dtype) - mean) / std
+        x = _relu_conv(params["stem"], x, stride=2)
     x = _maxpool_s2(x)
     x = _os_block_apply(params["b2a"], x)
     x = _os_block_apply(params["b2b"], x)

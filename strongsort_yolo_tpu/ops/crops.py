@@ -83,3 +83,55 @@ def crop_and_resize(
     tmp = jnp.einsum("mow,hwc->mhoc", col_w, img)  # (M, sh, ow, C)
     out = jnp.einsum("mrh,mhoc->mroc", row_w, tmp)  # (M, oh, ow, C)
     return out.astype(jnp.float32)
+
+
+def crop_and_resize_packed(
+    image: jnp.ndarray,  # (H, W, C) float (or uint8)
+    boxes: jnp.ndarray,  # (M, 4) xyxy in image pixels
+    out_hw: tuple[int, int] = (128, 64),
+    *,
+    downscale: int = 2,
+) -> jnp.ndarray:
+    """-> (M, oh/2, ow/2, 4C) crops in :func:`~strongsort_yolo_tpu.ops.
+    pack.space_to_depth` packing order — bit-comparable to
+    ``space_to_depth(crop_and_resize(...))`` but the unpacked
+    (M, oh, ow, C) tensor never exists: the output rows/cols are split
+    into (pixel, sub-position) INSIDE the interpolation einsums, so the
+    packed layout falls out of the contraction with no extra copy.
+
+    Feeds ``osnet_apply(..., packed_input=True)`` (the 7x7/2 stem in
+    transition form, ops/pack.pack_stem7_weight) — removing the
+    measured ~460us/dispatch crop-tensor layout copy + MXU-starved
+    3-channel stem conv from the S=16 StrongSORT step (NOTES.md).
+    """
+    from strongsort_yolo_tpu.ops.letterbox import resize_bilinear_matmul
+
+    oh, ow = out_hw
+    assert oh % 2 == 0 and ow % 2 == 0, out_hw
+    dt = image.dtype if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32
+    img = image.astype(dt)
+    h, w = img.shape[:2]
+    if downscale > 1:
+        sh, sw = max(h // downscale, 1), max(w // downscale, 1)
+        img = resize_bilinear_matmul(img, sh, sw)
+        sy, sx = sh / h, sw / w
+    else:
+        sh, sw, sy, sx = h, w, 1.0, 1.0
+
+    x1, y1, x2, y2 = (boxes[:, i].astype(jnp.float32) for i in range(4))
+    m = boxes.shape[0]
+    # output row r = 2I + oy: splitting the r axis of the tap matrix
+    # IS the (pixel, sub-position) factorization
+    row_w = _tap_matrices(
+        y1 * sy, jnp.maximum(y2 - y1, 1e-3) * sy, oh, sh, dt
+    ).reshape(m, oh // 2, 2, sh)
+    col_w = _tap_matrices(
+        x1 * sx, jnp.maximum(x2 - x1, 1e-3) * sx, ow, sw, dt
+    ).reshape(m, ow // 2, 2, sw)
+
+    tmp = jnp.einsum("mjpw,hwc->mhjpc", col_w, img)  # (M, sh, ow/2, 2, C)
+    out = jnp.einsum("miqh,mhjpc->mijcqp", row_w, tmp)
+    # (M, oh/2, ow/2, C, oy, ox) -> channel index c*4 + oy*2 + ox
+    return out.reshape(m, oh // 2, ow // 2, 4 * img.shape[2]).astype(
+        jnp.float32
+    )

@@ -278,6 +278,48 @@ def repeat4(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(x, 4, axis=-1)
 
 
+def pack_stem7_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """(7, 7, ci, co) stride-2 'same' (pad 3) conv -> (4, 4, 4ci, co):
+    consume a :func:`space_to_depth`-packed input and emit the
+    UNPACKED stride-2 output directly (transition form of a 7x7/2
+    stem — OSNet's, models/osnet.py).
+
+    Index algebra: output row i of the original conv reads original
+    rows 2i-3..2i+3, which live in packed rows i-2..i+1:
+
+        W'[u, v, c*4 + oy*2 + ox, co] = W[2u + oy - 1, 2v + ox - 1, c, co]
+        (zero tap where the original index leaves 0..6)
+
+    Apply as a 4x4 conv, stride 1, padding (2, 1) on both spatial
+    axes, over the packed tensor.
+
+    Why: the raw OSNet stem is a 3-channel 7x7 conv on (M, 128, 64, 3)
+    crops — MXU-starved (3 of 128 lanes) and preceded by a measured
+    ~460us/dispatch layout copy of the crop tensor at S=16 (NOTES.md
+    perf backlog). The packed form runs on (M, 64, 32, 12) crops that
+    ops/crops.crop_and_resize_packed emits directly from its resize
+    einsums, so the unpacked crop tensor never exists.
+    """
+    assert w.shape[0] == 7 and w.shape[1] == 7, w.shape
+    ci, co = w.shape[2], w.shape[3]
+    tap = np.zeros((4, 4, 4), np.int64)
+    valid = np.zeros((4, 4, 4), np.float32)
+    for u in range(4):
+        for v in range(4):
+            for oy in range(2):
+                for ox in range(2):
+                    dy = 2 * u + oy - 1
+                    dx = 2 * v + ox - 1
+                    if 0 <= dy <= 6 and 0 <= dx <= 6:
+                        tap[u, v, oy * 2 + ox] = dy * 7 + dx
+                        valid[u, v, oy * 2 + ox] = 1.0
+    w49 = w.reshape(49, ci, co)
+    g = w49[jnp.asarray(tap)]  # (4, 4, 4, ci, co)
+    g = g * jnp.asarray(valid, w.dtype)[..., None, None]
+    g = g.transpose(0, 1, 3, 2, 4)  # (u, v, ci, pos, co)
+    return g.reshape(4, 4, 4 * ci, co)
+
+
 def pack_v7_prefix(p: Params) -> Params:
     """Pack the yolov7 stem: the layers running at the full 640/320
     planes with 32-64 channels, where the round-3 device profile shows

@@ -183,6 +183,12 @@ class Pipeline:
         reid_weights: str | None = None,  # OSNet variant name or ckpt
         reid_params: Any | None = None,
         reid_topk: int = 128,  # dets embedded per frame (fixed shape)
+        reid_packed: bool | None = None,  # space-to-depth crop/stem path
+        # (ops/crops.crop_and_resize_packed + the OSNet stem in
+        # transition form). None = auto-enable on TPU, where the
+        # unpacked (M, 128, 64, 3) crop tensor costs a measured
+        # ~460us/dispatch layout copy at S=16 (NOTES.md); exact math
+        # either way.
         tracker_max_dets: int = 128,  # dets fed to association (the NMS
         # output is confidence-sorted, so the top rows are exact; this
         # bounds the auction problem size independently of max_det).
@@ -246,6 +252,11 @@ class Pipeline:
         self.reid_cfg = None
         self.reid_params = None
         self.reid_topk = reid_topk
+        self.reid_packed = (
+            jax.default_backend() == "tpu"
+            if reid_packed is None
+            else reid_packed
+        )
         feat_dim = 1
         if needs_reid:
             from strongsort_yolo_tpu.models.osnet import (
@@ -536,19 +547,30 @@ class Pipeline:
         is_strongsort = self.is_strongsort
         t_max = min(self.tracker_max_dets, det_cfg.max_det)
 
+        reid_packed = (
+            self.reid_packed
+            and reid_cfg is not None
+            and reid_cfg.crop_hw[0] % 2 == 0
+            and reid_cfg.crop_hw[1] % 2 == 0
+        )
+
         def embed(frame_u8, det):
             """Batched crop-gather + OSNet embed for the top-k dets
             (SURVEY.md H1 — one device pass, no per-det loops)."""
             from strongsort_yolo_tpu.models.osnet import osnet_apply
-            from strongsort_yolo_tpu.ops.crops import crop_and_resize
+            from strongsort_yolo_tpu.ops.crops import (
+                crop_and_resize, crop_and_resize_packed,
+            )
 
             boxes = det.boxes[:reid_topk]
-            crops = crop_and_resize(
+            crop_fn = crop_and_resize_packed if reid_packed else crop_and_resize
+            crops = crop_fn(
                 frame_u8.astype(compute_dtype) / 255.0,
                 boxes, reid_cfg.crop_hw,
             )
             feats = osnet_apply(
-                reid_params, crops, compute_dtype=compute_dtype
+                reid_params, crops, compute_dtype=compute_dtype,
+                packed_input=reid_packed,
             )
             feats = jnp.where(det.valid[:reid_topk, None], feats, 0.0)
             if reid_topk < det_cfg.max_det:

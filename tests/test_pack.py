@@ -210,3 +210,69 @@ def test_packed_v7_prefix_equals_plain(rng, fused):
         np.testing.assert_allclose(
             out[k], ref[k], rtol=1e-4, atol=1e-4, err_msg=k
         )
+
+
+def test_pack_stem7_transition_exact(rng):
+    """4x4 transition conv on the packed tensor == 7x7/s2 'same' conv
+    on the unpacked tensor (the OSNet-stem fold,
+    ops/pack.pack_stem7_weight)."""
+    from strongsort_yolo_tpu.ops.pack import pack_stem7_weight
+
+    ci, co = 3, 16
+    x = jnp.asarray(rng.normal(size=(2, 128, 64, ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(7, 7, ci, co)), jnp.float32) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (2, 64, 32, co)
+    got = jax.lax.conv_general_dilated(
+        space_to_depth(x), pack_stem7_weight(w), (1, 1),
+        [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_crop_and_resize_packed_is_s2d_of_plain(rng):
+    """crop_and_resize_packed == space_to_depth(crop_and_resize):
+    identical samples, packed layout, no unpacked intermediate."""
+    from strongsort_yolo_tpu.ops.crops import (
+        crop_and_resize, crop_and_resize_packed,
+    )
+
+    img = jnp.asarray(rng.uniform(0, 1, (96, 120, 3)), jnp.float32)
+    boxes = jnp.asarray(
+        [[10.0, 5.0, 60.0, 90.0], [30.5, 22.25, 48.0, 41.5],
+         [0.0, 0.0, 120.0, 96.0], [80.0, 60.0, 81.0, 61.0]],
+        jnp.float32,
+    )
+    for ds in (1, 2):
+        ref = space_to_depth(
+            crop_and_resize(img, boxes, (32, 16), downscale=ds)
+        )
+        got = crop_and_resize_packed(img, boxes, (32, 16), downscale=ds)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_osnet_packed_input_equals_plain(rng):
+    """osnet_apply(packed crops, packed_input=True) == the plain path:
+    the packed crop layout + transition stem is exact end-to-end."""
+    from strongsort_yolo_tpu.models.osnet import (
+        OsnetConfig, init_osnet, osnet_apply,
+    )
+    from strongsort_yolo_tpu.ops.crops import (
+        crop_and_resize, crop_and_resize_packed,
+    )
+
+    cfg = OsnetConfig(variant="osnet_x0_25")
+    params = init_osnet(jax.random.PRNGKey(3), cfg)
+    img = jnp.asarray(rng.uniform(0, 1, (128, 160, 3)), jnp.float32)
+    boxes = jnp.asarray(
+        [[12.0, 8.0, 70.0, 120.0], [40.0, 30.0, 90.0, 100.0]], jnp.float32
+    )
+    ref = osnet_apply(params, crop_and_resize(img, boxes, (128, 64)))
+    got = osnet_apply(
+        params, crop_and_resize_packed(img, boxes, (128, 64)),
+        packed_input=True,
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

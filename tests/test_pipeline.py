@@ -219,3 +219,28 @@ def test_overlapped_gmc_equals_serial(frame):
         np.testing.assert_allclose(a.boxes.xyxy, b.boxes.xyxy, atol=1e-4)
         if a.boxes.id is not None:
             np.testing.assert_array_equal(a.boxes.id, b.boxes.id)
+
+
+def test_reid_packed_pipeline_matches_plain(frame):
+    """The packed ReID crop/stem path (reid_packed=True:
+    crop_and_resize_packed + the 7x7 stem in transition form) yields
+    the same tracking decisions as the plain path — exact re-indexing,
+    wired through the full StrongSORT step."""
+    outs = []
+    for packed in (False, True):
+        p = mkpipe(
+            "yolov8n", tracker="strongsort.yaml", tracker_max_dets=16,
+            reid_packed=packed, seed=5,
+        )
+        rows = []
+        for t in range(4):
+            f = np.roll(frame, t * 3, axis=1)
+            r = p.track(f)
+            rows.append(
+                (np.asarray(r.boxes.xyxy), np.asarray(r.boxes.id)
+                 if r.boxes.id is not None else np.zeros(0))
+            )
+        outs.append(rows)
+    for (b0, i0), (b1, i1) in zip(*outs):
+        np.testing.assert_allclose(b0, b1, rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(i0, i1)
