@@ -380,7 +380,8 @@ def save_npz_checkpoint(path: str, params: Params, cfg: YoloConfig, names=None):
         )
         flat[key] = np.asarray(leaf)
     flat["__cfg__"] = np.asarray(
-        [cfg.family, cfg.scale, cfg.task, str(cfg.nc)], dtype=object
+        [cfg.family, cfg.scale, cfg.task, str(cfg.nc),
+         str(cfg.kpt[0]), str(cfg.kpt[1])], dtype=object
     )
     if names:
         flat["__names__"] = np.asarray(
@@ -393,8 +394,15 @@ def load_npz_checkpoint(path: str):
     import jax.numpy as jnp
 
     data = np.load(path, allow_pickle=True)
-    family, scale, task, nc = data["__cfg__"]
-    cfg = YoloConfig(family=str(family), scale=str(scale), task=str(task), nc=int(nc))
+    cfg_rec = list(data["__cfg__"])
+    family, scale, task, nc = cfg_rec[:4]
+    kpt = (
+        (int(cfg_rec[4]), int(cfg_rec[5])) if len(cfg_rec) >= 6 else (17, 3)
+    )
+    cfg = YoloConfig(
+        family=str(family), scale=str(scale), task=str(task), nc=int(nc),
+        kpt=kpt,
+    )
     names = None
     if "__names__" in data:
         names = {}

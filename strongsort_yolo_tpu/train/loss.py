@@ -32,6 +32,9 @@ class LossWeights(NamedTuple):
     box: float = 7.5
     cls: float = 0.5
     dfl: float = 1.5
+    seg: float = 2.5   # mask BCE (segment task; ultralytics box/2-ish)
+    kpt: float = 6.0   # keypoint location (pose task)
+    kobj: float = 1.0  # keypoint visibility BCE (pose task)
 
 
 def _assign(
@@ -125,10 +128,24 @@ def detection_loss(
     targets: {"boxes" (B, M, 4) xyxy pixels, "cls" (B, M) int32,
               "valid" (B, M) bool}
     Returns (scalar loss, metrics dict).
+
+    Task extras, keyed on presence (SURVEY.md D4/D5 head formats):
+    - segment: outputs carry "mask_coef" (B, A, nm) + "proto"
+      (B, Hm, Wm, nm) and targets carry "masks" (B, M, Hm, Wm) {0,1}
+      at proto resolution (input/4). Adds per-fg-anchor mask BCE
+      cropped to the gt box and normalized by its proto-cell area.
+    - pose: outputs carry "kpt_raw" (B, A, K*3) and targets carry
+      "kpts" (B, M, K, 3) [x_px, y_px, vis]. Adds a gt-box-area-
+      normalized squared-distance term on visible keypoints of fg
+      anchors (decoded exactly like ops/keypoints.decode_keypoints)
+      plus visibility BCE.
     """
     anchor_px = anchors * strides  # (A, 2) pixels
+    has_seg = "mask_coef" in outputs and "masks" in targets
+    has_pose = "kpt_raw" in outputs and "kpts" in targets
 
-    def per_image(box_logits, cls_logits, gt_boxes, gt_cls, gt_valid):
+    def per_image(box_logits, cls_logits, gt_boxes, gt_cls, gt_valid,
+                  *extras):
         a = box_logits.shape[0]
         dist = dfl_expectation(box_logits.reshape(a, 4, reg_max), reg_max)
         lt, rb = dist[:, :2], dist[:, 2:]
@@ -168,19 +185,75 @@ def detection_loss(
         dfl = _dfl_loss(box_logits.reshape(a, 4, reg_max), t_ltrb, reg_max)
         dfl_l = jnp.sum(jnp.where(fg, dfl * w, 0.0)) / t_sum
         n_fg = jnp.sum(fg.astype(jnp.float32))
-        return bce, box_l, dfl_l, n_fg
 
-    bce, box_l, dfl_l, n_fg = jax.vmap(per_image)(
+        seg_l = jnp.zeros(())
+        kpt_l = jnp.zeros(())
+        kobj_l = jnp.zeros(())
+        ex = list(extras)
+        if has_seg:
+            mask_coef, proto, gt_masks = ex[:3]
+            ex = ex[3:]
+            hm, wm = proto.shape[:2]
+            logits_m = jnp.einsum("ac,hwc->ahw", mask_coef, proto)
+            t_mask = gt_masks[gi]  # (A, Hm, Wm)
+            # crop to the gt box at proto resolution (input/4)
+            xx = (jnp.arange(wm, dtype=jnp.float32) + 0.5)[None, None, :]
+            yy = (jnp.arange(hm, dtype=jnp.float32) + 0.5)[None, :, None]
+            bx = tgt_box / 4.0
+            inside = (
+                (xx >= bx[:, 0, None, None]) & (xx < bx[:, 2, None, None])
+                & (yy >= bx[:, 1, None, None]) & (yy < bx[:, 3, None, None])
+            )
+            area = jnp.maximum(
+                (bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1]), 1.0
+            )
+            per_a = (
+                jnp.sum(_bce_logits(logits_m, t_mask) * inside, axis=(1, 2))
+                / area
+            )
+            seg_l = jnp.sum(jnp.where(fg, per_a * w, 0.0)) / t_sum
+        if has_pose:
+            kpt_raw, gt_kpts = ex[:2]
+            kk = kpt_raw.reshape(a, -1, 3)
+            px = (kk[..., 0] * 2.0 + (anchors[:, 0:1] - 0.5)) * strides
+            py = (kk[..., 1] * 2.0 + (anchors[:, 1:2] - 0.5)) * strides
+            tk = gt_kpts[gi]  # (A, K, 3)
+            vis = tk[..., 2]
+            areas = jnp.maximum(
+                (tgt_box[:, 2] - tgt_box[:, 0])
+                * (tgt_box[:, 3] - tgt_box[:, 1]),
+                1.0,
+            )[:, None]
+            d2 = (px - tk[..., 0]) ** 2 + (py - tk[..., 1]) ** 2
+            e = 1.0 - jnp.exp(-d2 / (2.0 * areas * 0.04))
+            nvis = jnp.maximum(jnp.sum(vis, axis=-1), 1.0)
+            per_a = jnp.sum(vis * e, axis=-1) / nvis
+            kpt_l = jnp.sum(jnp.where(fg, per_a * w, 0.0)) / t_sum
+            kb = jnp.mean(_bce_logits(kk[..., 2], vis), axis=-1)
+            kobj_l = jnp.sum(jnp.where(fg, kb * w, 0.0)) / t_sum
+        return bce, box_l, dfl_l, n_fg, seg_l, kpt_l, kobj_l
+
+    vm_args = [
         outputs["box_logits"],
         outputs["cls_logits"],
         targets["boxes"],
         targets["cls"],
         targets["valid"],
+    ]
+    if has_seg:
+        vm_args += [outputs["mask_coef"], outputs["proto"], targets["masks"]]
+    if has_pose:
+        vm_args += [outputs["kpt_raw"], targets["kpts"]]
+    bce, box_l, dfl_l, n_fg, seg_l, kpt_l, kobj_l = jax.vmap(per_image)(
+        *vm_args
     )
     loss = (
         weights.cls * bce.mean()
         + weights.box * box_l.mean()
         + weights.dfl * dfl_l.mean()
+        + weights.seg * seg_l.mean()
+        + weights.kpt * kpt_l.mean()
+        + weights.kobj * kobj_l.mean()
     )
     metrics = {
         "loss": loss,
@@ -189,6 +262,11 @@ def detection_loss(
         "dfl_loss": dfl_l.mean(),
         "num_fg": n_fg.mean(),
     }
+    if has_seg:
+        metrics["seg_loss"] = seg_l.mean()
+    if has_pose:
+        metrics["kpt_loss"] = kpt_l.mean()
+        metrics["kobj_loss"] = kobj_l.mean()
     return loss, metrics
 
 
