@@ -197,6 +197,7 @@ def osnet_apply(
     *,
     compute_dtype=jnp.float32,
     packed_input: bool = False,
+    channel_order: str = "rgb",
 ) -> jnp.ndarray:
     """-> (M, feat_dim) L2-normalized appearance embeddings.
 
@@ -205,24 +206,34 @@ def osnet_apply(
     stem runs in transition form (ops/pack.pack_stem7_weight) — exact
     same math, but the MXU-starved 3-channel full-res crop tensor
     never exists (NOTES.md OSNet-stem backlog entry).
+
+    channel_order: "rgb" (torchreid convention — what the weights were
+    trained on) or "bgr" for crops cut from cv2-convention frames (the
+    pipeline's case). The BGR path costs nothing at runtime: the
+    normalization vectors and the stem weights' input-channel axis are
+    reversed at TRACE time instead of flipping every crop.
     """
+    assert channel_order in ("rgb", "bgr"), channel_order
     # ImageNet normalization (standard for ReID backbones)
     mean = jnp.asarray([0.485, 0.456, 0.406], compute_dtype)
     std = jnp.asarray([0.229, 0.224, 0.225], compute_dtype)
+    stem = dict(params["stem"])
+    if channel_order == "bgr":
+        mean, std = mean[::-1], std[::-1]
+        stem["w"] = stem["w"][:, :, ::-1, :]
     if packed_input:
         from strongsort_yolo_tpu.ops.pack import pack_stem7_weight
 
         x = (crops.astype(compute_dtype) - jnp.repeat(mean, 4)) / jnp.repeat(
             std, 4
         )
-        stem = dict(params["stem"])
         stem["w"] = pack_stem7_weight(stem["w"])
         x = jax.nn.relu(
             C.conv_apply(stem, x, stride=1, pad=(2, 1), act=False, eps=BN_EPS)
         )
     else:
         x = (crops.astype(compute_dtype) - mean) / std
-        x = _relu_conv(params["stem"], x, stride=2)
+        x = _relu_conv(stem, x, stride=2)
     x = _maxpool_s2(x)
     x = _os_block_apply(params["b2a"], x)
     x = _os_block_apply(params["b2b"], x)

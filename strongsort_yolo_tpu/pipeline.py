@@ -568,9 +568,11 @@ class Pipeline:
                 frame_u8.astype(compute_dtype) / 255.0,
                 boxes, reid_cfg.crop_hw,
             )
+            # frames are BGR (cv2 convention); torchreid weights expect
+            # RGB — reversed trace-time inside osnet_apply, free
             feats = osnet_apply(
                 reid_params, crops, compute_dtype=compute_dtype,
-                packed_input=reid_packed,
+                packed_input=reid_packed, channel_order="bgr",
             )
             feats = jnp.where(det.valid[:reid_topk, None], feats, 0.0)
             if reid_topk < det_cfg.max_det:

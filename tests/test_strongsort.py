@@ -177,3 +177,23 @@ def test_crop_and_resize_matches_bilinear_oracle():
         jnp.asarray(img), jnp.asarray(np.zeros((2, 4), np.float32)), (32, 16)
     )
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_osnet_bgr_equals_flipped_rgb():
+    """osnet_apply(channel_order='bgr') on BGR crops == the rgb path
+    on channel-reversed crops: the cv2-frame convention is handled by
+    trace-time weight/normalization reversal, not a runtime flip
+    (pipeline embed parity for torchreid-convention weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.models.osnet import (
+        OsnetConfig, init_osnet, osnet_apply,
+    )
+
+    rng = np.random.default_rng(4)
+    params = init_osnet(jax.random.PRNGKey(1), OsnetConfig())
+    bgr = jnp.asarray(rng.uniform(0, 1, (3, 128, 64, 3)), jnp.float32)
+    ref = osnet_apply(params, bgr[..., ::-1])
+    got = osnet_apply(params, bgr, channel_order="bgr")
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
