@@ -27,6 +27,9 @@ from strongsort_yolo_tpu.pipeline import Pipeline
 ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
 SEG_CKPT = os.path.join(ASSETS, "yolov8n_seg_synth160.npz")
 POSE_CKPT = os.path.join(ASSETS, "yolov8n_pose_synth160.npz")
+# the reference's literal default model (yolo_multi_model.py:17 —
+# yolo11n-pose), trained by the same recipe
+POSE11_CKPT = os.path.join(ASSETS, "yolo11n_pose_synth160.npz")
 
 
 def _ellipse_frame(size=320):
@@ -81,10 +84,13 @@ def test_trained_seg_mask_is_the_ellipse_not_the_box():
     assert iou_ell > iou_box, (iou_ell, iou_box)
 
 
-@pytest.mark.skipif(not os.path.exists(POSE_CKPT), reason="asset not built")
-def test_trained_pose_finds_drawn_dots():
+@pytest.mark.parametrize("ckpt", [POSE_CKPT, POSE11_CKPT],
+                         ids=["yolov8n-pose", "yolo11n-pose"])
+def test_trained_pose_finds_drawn_dots(ckpt):
+    if not os.path.exists(ckpt):
+        pytest.skip("asset not built")
     pipe = Pipeline(
-        DetectorConfig(weights=POSE_CKPT, imgsz=160, conf=0.3, iou=0.4,
+        DetectorConfig(weights=ckpt, imgsz=160, conf=0.3, iou=0.4,
                        max_det=8, half=False),
         track_slots=8, tracker_max_dets=8,
     )

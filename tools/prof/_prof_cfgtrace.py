@@ -28,13 +28,14 @@ from strongsort_yolo_tpu.pipeline import Pipeline  # noqa: E402
 from strongsort_yolo_tpu.track.bytetrack import ByteTrackConfig  # noqa: E402
 
 weights = sys.argv[1] if len(sys.argv) > 1 else "yolov7"
-mode = sys.argv[2] if len(sys.argv) > 2 else "chunk"
+mode = sys.argv[2] if len(sys.argv) > 2 else "chunk"  # chunk|batch|flowbatch
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-tracker = (
-    sys.argv[4]
-    if len(sys.argv) > 4
-    else ByteTrackConfig(tracker_type="botsort", gmc_method="none")
-)
+if len(sys.argv) > 4:
+    tracker = sys.argv[4]
+elif mode == "flowbatch":
+    tracker = ByteTrackConfig(tracker_type="botsort", gmc_method="flow_tpu")
+else:
+    tracker = ByteTrackConfig(tracker_type="botsort", gmc_method="none")
 
 h, w = 1080, 1920
 pipe = Pipeline(
@@ -58,6 +59,17 @@ if mode == "chunk":
     state = pipe.track_state
     args = lambda st: (pipe.params, st, frames, warps)
     per_iter = chunk  # frames per dispatch
+elif mode == "flowbatch":
+    from strongsort_yolo_tpu.track import gmc_tpu
+
+    bp = pipe.track_batch_prepare(S, (h, w))
+    frames = jnp.asarray(np.stack([pool[i % 8] for i in range(S)]))
+    pgs = gmc_tpu.frame_to_gray(frames)
+    hps = jnp.ones((S,), bool)
+    step = bp._steps.batch_step_flow
+    state = bp.states
+    args = lambda st: (pipe.params, st, frames, pgs, hps)
+    per_iter = S
 else:
     bp = pipe.track_batch_prepare(S, (h, w))
     frames = jnp.asarray(np.stack([pool[i % 8] for i in range(S)]))
