@@ -194,6 +194,10 @@ def detection_loss(
             mask_coef, proto, gt_masks = ex[:3]
             ex = ex[3:]
             hm, wm = proto.shape[:2]
+            # all-anchor mask logits: O(A*Hm*Wm) floats — ~3 MB/image
+            # at imgsz 160, ~860 MB at 640. Fine for the synthetic
+            # tasks this trains; large-image seg training would need a
+            # fg-only gather (dynamic shapes) or per-level chunking.
             logits_m = jnp.einsum("ac,hwc->ahw", mask_coef, proto)
             t_mask = gt_masks[gi]  # (A, Hm, Wm)
             # crop to the gt box at proto resolution (input/4)
