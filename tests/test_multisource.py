@@ -171,3 +171,39 @@ def test_batched_pipeline_carries_seg_extras():
             assert (a.masks is None) == (b.masks is None)
             if a.masks is not None and len(a.masks):
                 np.testing.assert_allclose(a.masks.data, b.masks.data, atol=1e-4)
+
+
+def test_batched_strongsort_packed_reid_equals_sequential():
+    """Batched StrongSORT with the packed ReID crop/stem path
+    (reid_packed=True) == plain-path sequential runs: the packed
+    layout survives the vmapped batched program unchanged."""
+    rng = np.random.default_rng(2)
+    S, T = 2, 3
+    frames = rng.integers(0, 255, (S, T, 240, 320, 3), dtype=np.uint8)
+    for s in range(S):
+        frames[s, :, 50 + 20 * s : 130 + 20 * s, 70:170] = (60, 160, 230)
+
+    def mk(packed):
+        return Pipeline(
+            DetectorConfig(weights="yolov8n", imgsz=160, half=False,
+                           max_det=16),
+            tracker="strongsort.yaml", track_slots=16,
+            tracker_max_dets=16, reid_packed=packed, seed=3,
+        )
+
+    plain = mk(False)
+    seq = []
+    for s in range(S):
+        plain.reset()
+        seq.append([plain.track(frames[s, t]) for t in range(T)])
+
+    bp = mk(True).track_batch_prepare(S, (240, 320))
+    bat = [bp.step(frames[:, t]) for t in range(T)]
+
+    for s in range(S):
+        for t in range(T):
+            a, b = seq[s][t].boxes, bat[t][s].boxes
+            assert len(a) == len(b)
+            np.testing.assert_allclose(a.xyxy, b.xyxy, atol=1e-3)
+            if a.id is not None:
+                np.testing.assert_array_equal(a.id, b.id)
