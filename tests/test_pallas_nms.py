@@ -81,3 +81,34 @@ def test_nms_backend_flag(rng):
         conf_thres=0.3, iou_thres=0.4, pre_nms_topk=128, backend="xla",
     )
     assert int(det.count) > 0
+
+
+@pytest.mark.parametrize("k", [256, 512])
+def test_blockseq_kernel_matches_whole_k(rng, k):
+    """Block-sequential fixpoint == whole-K fixpoint == XLA oracle,
+    including an adversarial overlapping-chain scene (the dense case
+    whose iteration count the block form bounds)."""
+    scenes = []
+    boxes, conf = cands(rng, k, clusters=True)
+    scenes.append((boxes, conf))
+    # chain: each box overlaps its neighbors -> alternating keep/kill
+    t = np.arange(k, dtype=np.float32)
+    chain = np.stack(
+        [10 + 18 * t, np.full(k, 50.0), 10 + 18 * t + 40, np.full(k, 120.0)],
+        axis=1,
+    )
+    scenes.append(
+        (chain.astype(np.float32), np.linspace(0.99, 0.31, k).astype(np.float32))
+    )
+    for boxes, conf in scenes:
+        got = np.asarray(
+            pallas_nms_keep(
+                jnp.asarray(boxes), jnp.asarray(conf),
+                iou_thres=0.4, conf_thres=0.3, interpret=True,
+                block_seq=True,
+            )
+        )
+        valid = jnp.asarray(conf >= 0.3)
+        iou = box_iou(jnp.asarray(boxes), jnp.asarray(boxes))
+        want = np.asarray(_greedy_keep_fixpoint(iou, valid, 0.4))
+        np.testing.assert_array_equal(got, want)
