@@ -49,13 +49,40 @@ def main(argv=None) -> int:
         seq = MotSequence(seq_dir)
         if args.public:
             tcfg = load_tracker_config(args.tracker)
-            from strongsort_yolo_tpu.track.bytetrack import bytetrack_step
-
-            step = jax.jit(
-                lambda st, b, s, c, v: bytetrack_step(st, b, s, c, v, tcfg)
+            from strongsort_yolo_tpu.track.strongsort import (
+                StrongSortConfig, strongsort_step,
             )
+
+            if isinstance(tcfg, StrongSortConfig):
+                # public-det protocol has no frames, so no appearance:
+                # motion-only StrongSORT (NSA KF + chi2-gated global
+                # assignment, no cascade) — λ=0 and the cosine gate
+                # open, mirroring test_reid_quality's "without" arm
+                import dataclasses
+
+                import jax.numpy as jnp
+
+                tcfg = dataclasses.replace(
+                    tcfg, lambda_appearance=0.0, max_cosine_distance=1.0
+                )
+                fd = 512
+
+                def step_fn(st, b, s, c, v, _cfg=tcfg):
+                    feats = jnp.zeros((b.shape[0], fd), jnp.float32)
+                    st, out = strongsort_step(st, b, s, c, v, feats, _cfg)
+                    return st, out
+
+                step = jax.jit(step_fn)
+                state0 = init_track_state(128, feat_dim=fd)
+            else:
+                from strongsort_yolo_tpu.track.bytetrack import bytetrack_step
+
+                step = jax.jit(
+                    lambda st, b, s, c, v: bytetrack_step(st, b, s, c, v, tcfg)
+                )
+                state0 = init_track_state(128)
             hyp = track_sequence_public(
-                seq, step, init_track_state(128), conf_thresh=args.conf
+                seq, step, state0, conf_thresh=args.conf
             )
         else:
             from strongsort_yolo_tpu.config import DetectorConfig

@@ -56,3 +56,34 @@ def test_strongsort_pp_offline_baseline():
     # measured r2: MOTA 0.9913, IDF1 0.9612 — GSI fills dropout gaps
     assert m["mota"] >= 0.97, m
     assert m["idf1"] >= 0.94, m
+
+
+def test_strongsort_motion_only_public_baseline():
+    """StrongSORT online tracker (NSA KF, chi2-gated global assignment,
+    no cascade) under the public-det protocol — no frames, so λ=0
+    motion-only, the tools/eval_mot.py strongsort path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.track.strongsort import strongsort_step
+
+    seq = MotSequence(FIXTURE)
+    tcfg = dataclasses.replace(
+        load_tracker_config("strongsort.yaml"),
+        lambda_appearance=0.0, max_cosine_distance=1.0,
+    )
+
+    def step_fn(st, b, s, c, v):
+        feats = jnp.zeros((b.shape[0], 512), jnp.float32)
+        return strongsort_step(st, b, s, c, v, feats, tcfg)
+
+    hyp = track_sequence_public(
+        seq, jax.jit(step_fn), init_track_state(128, feat_dim=512),
+        conf_thresh=0.1,
+    )
+    m = evaluate_sequence(seq, hyp)
+    # measured r3: MOTA 0.9089, IDF1 0.9233, idsw 1
+    assert m["mota"] >= 0.89, m
+    assert m["idf1"] >= 0.90, m
+    assert m["idsw"] <= 3, m
