@@ -128,6 +128,27 @@ def v_windowed(img, b):
     return jax.vmap(one)(rw, cw, x1, y1)
 
 
+def v_windowed_unaligned(img, b):
+    """Same banded form but with UNALIGNED window starts (XLA
+    dynamic_slice takes any offset; alignment only matters for Pallas
+    refs) — half the alignment slack, so smaller windows would fit."""
+    src, rw, cw = taps(img, b)
+    sh, sw = src.shape[:2]
+    WIN = 256
+    x1, y1 = b[:, 0] * 0.5, b[:, 1] * 0.5
+
+    def one(rwm, cwm, bx1, by1):
+        ys = jnp.clip(by1.astype(jnp.int32) - 2, 0, max(sh - WIN, 0))
+        xs = jnp.clip(bx1.astype(jnp.int32) - 2, 0, max(sw - WIN, 0))
+        win = jax.lax.dynamic_slice(src, (ys, xs, 0), (WIN, WIN, 3))
+        rww = jax.lax.dynamic_slice(rwm, (0, ys), (OH, WIN))
+        cww = jax.lax.dynamic_slice(cwm, (0, xs), (OW, WIN))
+        tmp = jnp.einsum("ow,hwc->hoc", cww, win)
+        return jnp.einsum("rh,hoc->roc", rww, tmp)
+
+    return jax.vmap(one)(rw, cw, x1, y1)
+
+
 VARIANTS = {
     "baseline": v_baseline,
     "packed": v_packed,
@@ -135,6 +156,7 @@ VARIANTS = {
     "chan_rows1st": v_chan_batch_rows_first,
     "flatcols": v_flatcols,
     "windowed": v_windowed,
+    "windowed_unal": v_windowed_unaligned,
 }
 
 
