@@ -176,7 +176,13 @@ def bench(name, fn):
     def chain(fr, bs):
         def body(c, _):
             o = run(fr + c, bs)
-            s = o.reshape(-1)[:8].astype(jnp.float32).sum()
+            # NONLINEAR full-output reduction: a plain slice lets XLA
+            # commute the slice through the einsums and DCE ~all work,
+            # and even a full linear sum gets folded through the dots
+            # (sum∘einsum → ones-vector contractions: baseline timed
+            # "0.014 ms" that way — bogus). Squaring blocks both.
+            of = o.astype(jnp.float32)
+            s = (of * of).sum()
             return (c + s * 1e-20).astype(DT), None
 
         c, _ = jax.lax.scan(body, jnp.zeros((), DT), None, length=10)
