@@ -171,30 +171,16 @@ def bench(name, fn):
 
     out = run(frames, boxes)
     jax.block_until_ready(out)
-    # chain R iterations in one jit to beat the ~1ms dispatch floor
-    @jax.jit
-    def chain(fr, bs):
-        def body(c, _):
-            o = run(fr + c, bs)
-            # NONLINEAR full-output reduction: a plain slice lets XLA
-            # commute the slice through the einsums and DCE ~all work,
-            # and even a full linear sum gets folded through the dots
-            # (sum∘einsum → ones-vector contractions: baseline timed
-            # "0.014 ms" that way — bogus). Squaring blocks both.
-            of = o.astype(jnp.float32)
-            s = (of * of).sum()
-            return (c + s * 1e-20).astype(DT), None
-
-        c, _ = jax.lax.scan(body, jnp.zeros((), DT), None, length=10)
-        return c
-
-    c = chain(frames, boxes)
-    jax.block_until_ready(c)
+    # Direct dispatches. The chained-scan harness (see git history)
+    # was defeated by XLA for the dense baseline even with a squared
+    # full-output reduction (timed 0.004 ms vs a ~1.3 ms bf16-MAC
+    # roofline) — the ~1 ms tunnel dispatch floor is the honest tax
+    # and is small against the 5-65 ms variant signals here.
     t0 = time.perf_counter()
-    for _ in range(3):
-        c = chain(frames, boxes)
-    jax.block_until_ready(c)
-    dt = (time.perf_counter() - t0) / 30
+    for _ in range(20):
+        out = run(frames, boxes)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 20
     print(f"{name:>14}: {dt*1e3:7.3f} ms/dispatch (S={S}, M={M})", flush=True)
     return out
 
