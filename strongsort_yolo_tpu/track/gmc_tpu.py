@@ -41,6 +41,14 @@ from strongsort_yolo_tpu.ops.letterbox import resize_bilinear_matmul
 BASE_H, BASE_W = 180, 320
 _LEVELS = 3
 _ITERS = 12  # Gauss-Newton steps per level (tiny images — VPU noise)
+# Coarse-to-fine iteration schedule, indexed by level (0 = finest).
+# The coarsest level (45x80, ~nothing/iter) does the heavy motion
+# search with the full 12 steps; the finest level — 57% of the LK
+# device time at S=16 (859 us of 1516, _prof_cfgtrace flowbatch) —
+# only polishes an already-converged estimate, and Gauss-Newton is
+# quadratic near the optimum: 4 steps hold every synthetic-motion
+# oracle within tolerance while cutting the GMC step tax ~23% -> ~15%.
+_ITERS_BY_LEVEL = (4, 8, 12)
 
 
 def frame_to_gray(frame_u8: jnp.ndarray) -> jnp.ndarray:
@@ -145,7 +153,8 @@ def _sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
 _MAX_SHIFT = 32  # max per-level translation, level pixels
 
 
-def _lk_level(prev, cur, params, method: str | None = None):
+def _lk_level(prev, cur, params, method: str | None = None,
+              iters: int = _ITERS):
     """Backend dispatch: the Pallas VMEM-resident kernel on TPU
     (ops/pallas/lk_kernel.py — the XLA lowering re-streams every
     plane from HBM for each of the ~36 Gauss-Newton iterations), the
@@ -158,13 +167,13 @@ def _lk_level(prev, cur, params, method: str | None = None):
         )
 
         return lk_level_pallas(
-            prev, cur, jnp.asarray(params), m=_MAX_SHIFT, iters=_ITERS,
+            prev, cur, jnp.asarray(params), m=_MAX_SHIFT, iters=iters,
             interpret=(method == "pallas_interpret"),
         )
-    return _lk_level_xla(prev, cur, params)
+    return _lk_level_xla(prev, cur, params, iters=iters)
 
 
-def _lk_level_xla(prev, cur, params):
+def _lk_level_xla(prev, cur, params, iters: int = _ITERS):
     """Refine affine params on one pyramid level (forward-additive
     Gauss-Newton LK).
 
@@ -267,7 +276,7 @@ def _lk_level_xla(prev, cur, params):
         )
         return p - delta
 
-    return jax.lax.fori_loop(0, _ITERS, it, params)
+    return jax.lax.fori_loop(0, iters, it, params)
 
 
 @functools.partial(
@@ -294,7 +303,8 @@ def estimate_warp(
         # params are centered width-normalized (_lk_level) and thus
         # LEVEL-INVARIANT: coarse-to-fine needs no rescaling
         params = _lk_level(
-            _blur(pyr_p[lvl]), _blur(pyr_c[lvl]), params, method=method
+            _blur(pyr_p[lvl]), _blur(pyr_c[lvl]), params, method=method,
+            iters=_ITERS_BY_LEVEL[min(lvl, len(_ITERS_BY_LEVEL) - 1)],
         )
 
     a11, a12, tx, a21, a22, ty = (params[i] for i in range(6))
