@@ -40,7 +40,7 @@ from strongsort_yolo_tpu.config import DetectorConfig
 from strongsort_yolo_tpu.media.annotator import make_annotator
 from strongsort_yolo_tpu.media.video import SyntheticSource, VideoReader, VideoWriter
 from strongsort_yolo_tpu.pipeline import Pipeline
-from strongsort_yolo_tpu.utils.counting import StreamingCounter
+from strongsort_yolo_tpu.utils.counting import LineCrossCounter, StreamingCounter
 from strongsort_yolo_tpu.utils.fps import FpsMeter
 from strongsort_yolo_tpu.utils.labels import LabelWriter
 from strongsort_yolo_tpu.utils.profiling import StageTimers
@@ -80,6 +80,10 @@ class AppConfig:
     # 64 cuts the embed tax ~in half for scenes under 64 dets
     checkpoint_every: int = 0  # save TrackState every N frames (0: only
     # when --resume is set, which defaults the cadence to 25)
+    count_line: tuple[float, float, float, float] | None = None
+    # directional line-cross counting (x1,y1,x2,y2 in source pixels):
+    # tallies per-class in/out crossings of track centroids over the
+    # directed line (in = ends left of A->B); needs --track
 
 
 @dataclasses.dataclass
@@ -88,6 +92,7 @@ class StreamStats:
     frames: int = 0
     mean_fps: float = 0.0
     counts: dict | None = None
+    line_counts: dict | None = None  # {"in": {...}, "out": {...}}
     output_video: str | None = None
     labels_file: str | None = None
     errors: int = 0  # frames skipped on processing errors (SURVEY §5.3)
@@ -183,6 +188,11 @@ class _StreamCtx:
         self.annotator = make_annotator(names, seed=cfg.seed)
         self.trails = TrajectoryMemory()
         self.counter = StreamingCounter(names)
+        self.line_counter = (
+            LineCrossCounter(names, cfg.count_line)
+            if cfg.count_line is not None and cfg.track
+            else None
+        )
         self.fps = FpsMeter()
         self.timers = StageTimers()
         self.writer = None
@@ -228,6 +238,8 @@ class _StreamCtx:
                     self.label_writer.write_frame(frame_id, results.boxes)
                 if cfg.count:
                     self.counter.update(results.boxes)
+                if self.line_counter is not None:
+                    self.line_counter.update(results.boxes)
 
         with self.timers.stage("draw"):
             frame = self.annotator.draw_results(frame, results)
@@ -235,6 +247,10 @@ class _StreamCtx:
                 self.annotator.draw_trails(frame, self.trails)
             if cfg.track and cfg.count:
                 frame = self.annotator.draw_counts(frame, self.counter.counts())
+            if self.line_counter is not None:
+                self.annotator.draw_count_line(
+                    frame, self.cfg.count_line, self.line_counter.totals()
+                )
             self.annotator.draw_fps(frame, self.fps.tick())
 
         with self.timers.stage("encode"):
@@ -255,6 +271,8 @@ class _StreamCtx:
         self.stats.frames = frames
         self.stats.mean_fps = frames / elapsed
         self.stats.counts = self.counter.counts() if self.cfg.count else None
+        if self.line_counter is not None:
+            self.stats.line_counts = self.line_counter.counts()
         self.stats.stage_times = self.timers.summary()
         if track_state is not None:
             db = np.asarray(track_state.dropped_births)
@@ -276,6 +294,7 @@ class _StreamCtx:
                 "stream_end", stream=self.name, frames=frames,
                 mean_fps=round(self.stats.mean_fps, 2),
                 errors=self.stats.errors, counts=self.stats.counts,
+                line_counts=self.stats.line_counts,
                 dropped_births=self.stats.dropped_births,
                 truncated_dets=self.stats.truncated_dets,
             )

@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--track", action="store_true", help="if track objects")
     parser.add_argument("--count", action="store_true", help="if count objects")
     parser.add_argument(
+        "--count-line", type=str, default=None, metavar="x1,y1,x2,y2",
+        help="directional line-cross counting: tally per-class in/out "
+        "crossings of track centroids over the directed line A->B "
+        "(in = ends left of A->B); draws the line + totals; needs --track",
+    )
+    parser.add_argument(
         "--weights", type=str, default="yolov8n",
         help="model name (yolov8n, yolov8n-seg, yolo11n-pose, ...) or .pt path",
     )
@@ -90,12 +96,24 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _parse_line(spec: str | None):
+    if spec is None:
+        return None
+    parts = [p for p in spec.replace(",", " ").split() if p]
+    if len(parts) != 4:
+        raise SystemExit(
+            f"--count-line expects x1,y1,x2,y2 (got {spec!r})"
+        )
+    return tuple(float(p) for p in parts)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = AppConfig(
         sources=tuple(args.source),
         track=args.track,
         count=args.count,
+        count_line=_parse_line(args.count_line),
         weights=args.weights,
         tracker=args.tracker,
         reid_weights=args.reid_weights,
@@ -121,6 +139,8 @@ def main(argv=None) -> int:
         line = f"[{s.source}] frames={s.frames} fps={s.mean_fps:.2f}"
         if s.counts is not None:
             line += f" counts={s.counts}"
+        if s.line_counts is not None:
+            line += f" line_counts={s.line_counts}"
         print(line)
     return 0
 

@@ -134,6 +134,20 @@ class Annotator:
         )
         return cv2.addWeighted(frame, 0.7, display, 0.3, 0)
 
+    def draw_count_line(self, frame: np.ndarray, line, totals) -> None:
+        """Yellow count line + 'in N  out M' tallies at its midpoint
+        (--count-line overlay; directional line-cross counting)."""
+        import cv2
+
+        x1, y1, x2, y2 = (int(v) for v in line)
+        cv2.line(frame, (x1, y1), (x2, y2), (0, 255, 255), 2)
+        n_in, n_out = totals
+        mx, my = (x1 + x2) // 2, (y1 + y2) // 2
+        cv2.putText(
+            frame, f"in {n_in}  out {n_out}", (mx + 6, my - 6),
+            cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 255), 2, cv2.LINE_AA,
+        )
+
     def draw_fps(self, frame: np.ndarray, fps_text: str) -> None:
         import cv2
 
@@ -222,6 +236,15 @@ class NativeAnnotator:
         self.native.draw_text(frame, text, 20, 32, (210, 210, 210))
         self.native.blend(frame, display, 0.7, 0.3)
         return frame
+
+    def draw_count_line(self, frame: np.ndarray, line, totals) -> None:
+        x1, y1, x2, y2 = (int(v) for v in line)
+        self.native.draw_line(frame, x1, y1, x2, y2, (0, 255, 255), 2)
+        n_in, n_out = totals
+        mx, my = (x1 + x2) // 2, (y1 + y2) // 2
+        self.native.draw_text(
+            frame, f"in {n_in}  out {n_out}", mx + 6, my - 14, (0, 255, 255)
+        )
 
     def draw_fps(self, frame: np.ndarray, fps_text: str) -> None:
         self.native.draw_text(frame, fps_text, 10, 17, (0, 0, 255))

@@ -40,7 +40,8 @@ from strongsort_yolo_tpu.ops.letterbox import resize_bilinear_matmul
 # by 2x average pooling
 BASE_H, BASE_W = 180, 320
 _LEVELS = 3
-_ITERS = 12  # Gauss-Newton steps per level (tiny images — VPU noise)
+_ITERS = 12  # default/fallback Gauss-Newton step count for direct
+# _lk_level calls; estimate_warp always uses _ITERS_BY_LEVEL below
 # Coarse-to-fine iteration schedule, indexed by level (0 = finest).
 # The coarsest level (45x80, ~nothing/iter) does the heavy motion
 # search with the full 12 steps; the finest level — 57% of the LK

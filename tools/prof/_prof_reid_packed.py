@@ -36,18 +36,18 @@ def run(packed):
     )
     B.calibrate_candidates(pipe, pool[0], 0.3, B.TARGET_DETS)
     bp = pipe.track_batch_prepare(S, (h, w))
-    step = bp._steps.batch_step
-    state = bp.states
+    # drive the public step_async path (advisor r3: private
+    # bp._steps.batch_step breaks across pipeline refactors); the
+    # staged device arrays pass through its jnp.asarray unchanged, so
+    # no per-tick tunnel upload
     for _ in range(3):
-        out = step(pipe.params, state, frames, warps)
-        state = out[0]
-    jax.block_until_ready(state)
+        bp.step_async(frames, warps)
+    jax.block_until_ready(bp.states)
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
-        out = step(pipe.params, state, frames, warps)
-        state = out[0]
-    jax.block_until_ready(state)
+        bp.step_async(frames, warps)
+    jax.block_until_ready(bp.states)
     dt = time.perf_counter() - t0
     fps = n * S / dt
     print(
