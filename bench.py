@@ -507,11 +507,19 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     result = {
-        "metric": f"e2e_1080p_track_fps_per_chip_{S}stream_yolov8n_maxdet1000_{platform}",
+        # "device_e2e" + "_staged_frames": the measured path is the full
+        # per-frame DEVICE program (letterbox->detect->NMS->rescale->
+        # associate) on frames pre-staged in HBM — host decode/draw/
+        # encode are NOT in this number (measured separately in
+        # BASELINE.md's media table; the tunnel's ~1s/frame host<->device
+        # transfer makes per-frame upload timing meaningless here).
+        "metric": f"device_e2e_1080p_track_fps_per_chip_{S}stream_yolov8n_maxdet1000_staged_frames_{platform}",
         "value": round(fps_agg, 2),
         "unit": "fps",
         "vs_baseline": round(fps_agg / 300.0, 4),
         "extra": {
+            "scope": "device step on pre-staged frames; host decode/"
+            "draw/encode excluded (see BASELINE.md media table)",
             "single_stream_fps": round(fps_single, 2),
             "single_stream_mfu": round(mfu_single, 4),
             "single_stream_gmc_sparseoptflow_fps": round(fps_gmc, 2),

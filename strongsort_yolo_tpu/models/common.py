@@ -41,24 +41,12 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
 
 
-# Pallas conv takeover (ops/pallas/conv_kernel.py) — MEASURED SLOWER
-# than XLA's conv emitter on every eligible shape (see the kernel's
-# docstring for the 2026-08-17 shootout table), so routing is OFF by
-# default everywhere. True forces it on for eligible shapes (interpret
-# mode off-TPU — how the numerics tests run); None/False disable.
-PALLAS_CONV: bool | None = None
-
-
-def _pallas_conv_route(
-    x_shape: tuple[int, ...], k: int, stride: int, groups: int, dilation: int
-) -> bool:
-    if PALLAS_CONV is not True:
-        return False
-    from strongsort_yolo_tpu.ops.pallas import conv_kernel
-
-    return conv_kernel.eligible(x_shape, k, stride, groups, dilation)
-
-
+# NOTE: a Pallas conv takeover was built and MEASURED SLOWER than
+# XLA's conv emitter on every eligible shape (narrow-channel stages
+# are lane-bound at ~25% MXU for ANY formulation — NOTES.md round-3
+# lessons). The kernel + its shootout table live in
+# tools/prof/conv_kernel.py as a documented negative result; the
+# product path is XLA-only.
 # ---------------------------------------------------------------------------
 # Conv + BN + SiLU
 # ---------------------------------------------------------------------------
@@ -108,22 +96,6 @@ def conv_apply(
     k = w.shape[0]
     if pad is None:
         pad = autopad(k, dilation)
-    if (
-        "b" in p
-        and pad == autopad(k, dilation)
-        and not isinstance(pad, tuple)
-        and _pallas_conv_route(x.shape, k, stride, groups, dilation)
-    ):
-        from strongsort_yolo_tpu.ops.pallas import conv_kernel
-
-        return conv_kernel.conv_act(
-            x,
-            w.reshape(k * k * w.shape[2], w.shape[3]),
-            p["b"],
-            k=k,
-            act=act,
-            interpret=jax.default_backend() != "tpu",
-        )
     pad2 = pad if isinstance(pad, tuple) else (pad, pad)
     y = jax.lax.conv_general_dilated(
         x,
@@ -166,17 +138,6 @@ def conv2d_bias_apply(p: Params, x: jnp.ndarray, *, stride: int = 1) -> jnp.ndar
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
     pad = autopad(k)
-    if _pallas_conv_route(x.shape, k, stride, 1, 1):
-        from strongsort_yolo_tpu.ops.pallas import conv_kernel
-
-        return conv_kernel.conv_act(
-            x,
-            w.reshape(k * k * w.shape[2], w.shape[3]),
-            p["b"],
-            k=k,
-            act=False,
-            interpret=jax.default_backend() != "tpu",
-        )
     y = jax.lax.conv_general_dilated(
         x,
         w,

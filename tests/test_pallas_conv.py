@@ -1,27 +1,28 @@
-"""Pallas fused conv kernel vs the XLA conv path (ops/pallas/conv_kernel).
+"""Numerics tests for the archived Pallas conv kernel
+(tools/prof/conv_kernel.py — a documented MEASURED-NEGATIVE result:
+XLA's conv emitter wins on every eligible shape, NOTES.md round-3
+lessons; the product path is XLA-only, models/common.py). The kernel
+is kept as runnable measurement collateral, so its numerics stay
+tested: interpret mode on CPU vs `conv_apply`'s XLA path, plus
+gradient correctness through the custom-VJP wrapper."""
 
-The kernel replaces XLA's conv emitter on the narrow-channel 80x80/40x40
-stages of the detector (see the module docstring for the profile that
-motivates it). These tests run it in interpret mode on CPU and assert it
-computes the same fused conv+bias(+SiLU) as `conv_apply`'s XLA path, for
-every shape class the router sends to it, plus gradient correctness
-through the custom-VJP wrapper (the detect-head towers are trained).
-"""
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from strongsort_yolo_tpu.models import common
-from strongsort_yolo_tpu.models.common import (
-    conv2d_bias_apply,
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.prof import conv_kernel  # noqa: E402
+
+from strongsort_yolo_tpu.models.common import (  # noqa: E402
     conv_apply,
     fuse_conv_bn,
     init_conv,
     init_conv2d_bias,
 )
-from strongsort_yolo_tpu.ops.pallas import conv_kernel
 
 
 def _fused_params(key, c_in, c_out, k):
@@ -34,15 +35,15 @@ def _fused_params(key, c_in, c_out, k):
     return fuse_conv_bn(p)
 
 
-@pytest.fixture()
-def force_pallas():
-    old = common.PALLAS_CONV
-    common.PALLAS_CONV = True
-    yield
-    common.PALLAS_CONV = old
+def _kernel(p, x, k, act):
+    w = p["w"].astype(x.dtype)
+    return conv_kernel.conv_act(
+        x, w.reshape(k * k * w.shape[2], w.shape[3]), p["b"],
+        k=k, act=act, interpret=True,
+    )
 
 
-# Shape classes the router targets: (h, w, c_in, c_out, k)
+# Shape classes the (archived) router targeted: (h, w, c_in, c_out, k)
 CASES = [
     (40, 40, 32, 32, 3),   # C2f bottleneck convs
     (40, 40, 64, 80, 3),   # cls-tower entry
@@ -55,15 +56,13 @@ CASES = [
 
 @pytest.mark.parametrize("h,w,c_in,c_out,k", CASES)
 @pytest.mark.parametrize("act", [True, False])
-def test_matches_xla_conv(force_pallas, h, w, c_in, c_out, k, act):
+def test_matches_xla_conv(h, w, c_in, c_out, k, act):
     key = jax.random.PRNGKey(h * 1000 + c_in * 10 + k)
     p = _fused_params(key, c_in, c_out, k)
     x = jax.random.normal(jax.random.fold_in(key, 7), (2, h, w, c_in))
 
-    common.PALLAS_CONV = False
     ref = conv_apply(p, x, act=act)
-    common.PALLAS_CONV = True
-    got = conv_apply(p, x, act=act)
+    got = _kernel(p, x, k, act)
 
     assert got.shape == ref.shape == (2, h, w, c_out)
     # f32 end to end: only summation order differs (9 partial MXU dots
@@ -73,15 +72,13 @@ def test_matches_xla_conv(force_pallas, h, w, c_in, c_out, k, act):
     )
 
 
-def test_matches_xla_conv_bf16(force_pallas):
+def test_matches_xla_conv_bf16():
     key = jax.random.PRNGKey(0)
     p = _fused_params(key, 64, 64, 3)
     x = jax.random.normal(key, (2, 40, 40, 64)).astype(jnp.bfloat16)
 
-    common.PALLAS_CONV = False
     ref = np.asarray(conv_apply(p, x)).astype(np.float32)
-    common.PALLAS_CONV = True
-    got = np.asarray(conv_apply(p, x)).astype(np.float32)
+    got = np.asarray(_kernel(p, x, 3, True)).astype(np.float32)
 
     # bf16 storage: the kernel rounds once (f32 epilogue), the XLA path
     # rounds between conv and epilogue — allow ~1 bf16 ulp of slack.
@@ -89,38 +86,22 @@ def test_matches_xla_conv_bf16(force_pallas):
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
 
 
-def test_conv2d_bias_head_layer(force_pallas):
-    key = jax.random.PRNGKey(3)
-    p = init_conv2d_bias(key, 64, 80, 1)
-    p = {"w": p["w"], "b": jax.random.normal(key, (80,)) * 0.5}
-    x = jax.random.normal(key, (2, 40, 40, 64))
-
-    common.PALLAS_CONV = False
-    ref = conv2d_bias_apply(p, x)
-    common.PALLAS_CONV = True
-    got = conv2d_bias_apply(p, x)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
-    )
-
-
-def test_multi_image_blocks_match_single(force_pallas):
+def test_multi_image_blocks_match_single():
     """n divisible by the block size: rolls wrap across image boundaries
     and must be masked exactly like same-padding."""
     key = jax.random.PRNGKey(11)
     p = _fused_params(key, 32, 32, 3)
     x = jax.random.normal(key, (8, 40, 40, 32))
-    common.PALLAS_CONV = True
-    batched = conv_apply(p, x)
+    batched = _kernel(p, x, 3, True)
     singles = jnp.concatenate(
-        [conv_apply(p, x[i : i + 1]) for i in range(8)], axis=0
+        [_kernel(p, x[i : i + 1], 3, True) for i in range(8)], axis=0
     )
     np.testing.assert_allclose(
         np.asarray(batched), np.asarray(singles), rtol=2e-5, atol=2e-5
     )
 
 
-def test_grad_matches_xla(force_pallas):
+def test_grad_matches_xla():
     """custom-VJP backward == differentiating the XLA formulation."""
     key = jax.random.PRNGKey(5)
     p = init_conv2d_bias(key, 32, 16, 3)
@@ -146,17 +127,6 @@ def test_grad_matches_xla(force_pallas):
     gw_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(p["w"], p["b"])
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_r), rtol=1e-4, atol=1e-4)
-
-
-def test_router_default_off_cpu():
-    """Auto mode must not route on non-TPU backends."""
-    assert common.PALLAS_CONV in (None, False) or True  # restored by fixture
-    old = common.PALLAS_CONV
-    common.PALLAS_CONV = None
-    try:
-        assert not common._pallas_conv_route((2, 40, 40, 64), 3, 1, 1, 1)
-    finally:
-        common.PALLAS_CONV = old
 
 
 def test_eligibility_rules():

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from strongsort_yolo_tpu.models import common
-from strongsort_yolo_tpu.ops.pallas import conv_kernel
+import conv_kernel  # moved to tools/prof (archived negative result)
 
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 
@@ -70,7 +70,7 @@ def main():
         b = jax.random.normal(key, (co,)) * 0.1
         p = {"w": wgt, "b": b}
 
-        common.PALLAS_CONV = False
+        # (PALLAS_CONV routing removed from common.py; XLA path is default)
         xla = lambda xx: common.conv_apply(p, xx, act=act)
         t_xla = bench(xla, x)
 

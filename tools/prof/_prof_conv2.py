@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from strongsort_yolo_tpu.models import common
-from strongsort_yolo_tpu.ops.pallas import conv_kernel
+import conv_kernel  # moved to tools/prof (archived negative result)
 
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 
@@ -192,7 +192,7 @@ def main():
         n_img = conv_kernel._images_per_block(S, h, w, ci, co)
         gflop = 2 * k * k * ci * co * S * h * w / 1e9
 
-        common.PALLAS_CONV = False
+        # (PALLAS_CONV routing removed from common.py; XLA path is default)
         p = {"w": wgt, "b": b}
         res = {}
         res["xla"] = bench(lambda xx: common.conv_apply(p, xx, act=True), x)
