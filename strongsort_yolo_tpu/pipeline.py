@@ -183,6 +183,14 @@ class Pipeline:
         reid_weights: str | None = None,  # OSNet variant name or ckpt
         reid_params: Any | None = None,
         reid_topk: int = 128,  # dets embedded per frame (fixed shape)
+        reid_banded: bool | None = None,  # banded-pyramid crop sampling
+        # (round 4): each crop contracts against a fixed (256, 512)
+        # band of a per-crop pyramid level instead of the FULL ds2
+        # frame (ops/crops.py banded section). None = auto: the Pallas
+        # kernel (ops/pallas/crop_kernel.py) on TPU, the jit-able
+        # stacked-pyramid einsum elsewhere — identical semantics, and
+        # identical to the classic dense path for every box whose ds2
+        # span fits a band (persons always do). False = legacy dense.
         reid_packed: bool | None = None,  # space-to-depth crop/stem path
         # (ops/crops.crop_and_resize_packed + the OSNet stem in
         # transition form). None = auto-enable on TPU, where the
@@ -252,6 +260,7 @@ class Pipeline:
         self.reid_cfg = None
         self.reid_params = None
         self.reid_topk = reid_topk
+        self.reid_banded = reid_banded
         self.reid_packed = (
             jax.default_backend() == "tpu"
             if reid_packed is None
@@ -554,43 +563,132 @@ class Pipeline:
             and reid_cfg.crop_hw[1] % 2 == 0
         )
 
-        def embed(frame_u8, det):
-            """Batched crop-gather + OSNet embed for the top-k dets
-            (SURVEY.md H1 — one device pass, no per-det loops)."""
+        # banded-pyramid crop routing (see Pipeline.__init__ docstring)
+        reid_banded = self.reid_banded
+        if reid_banded is None:
+            reid_banded = True
+        banded_kernel = reid_banded and jax.default_backend() == "tpu"
+
+        needs_reid = reid_cfg is not None and (
+            is_strongsort or tracker_cfg.with_reid
+        )
+
+        def embed_batch(frames_u8, dets):
+            """Crop-gather + OSNet embed for the top-k dets of a BATCH
+            of frames in one device pass (SURVEY.md H1 — no per-det
+            loops, and since round 4 no per-FRAME loops either: the
+            crop sampler and the embedder both see the full B*topk
+            batch, outside any vmap/scan). frames (B, H, W, 3) uint8;
+            dets fields (B, max_det, ...). -> (B, max_det, feat)."""
             from strongsort_yolo_tpu.models.osnet import osnet_apply
             from strongsort_yolo_tpu.ops.crops import (
-                crop_and_resize, crop_and_resize_packed,
+                crop_and_resize,
+                crop_and_resize_packed,
+                crop_and_resize_pyramid,
             )
+            from strongsort_yolo_tpu.ops.pack import space_to_depth
 
-            boxes = det.boxes[:reid_topk]
-            crop_fn = crop_and_resize_packed if reid_packed else crop_and_resize
-            crops = crop_fn(
-                frame_u8.astype(compute_dtype) / 255.0,
-                boxes, reid_cfg.crop_hw,
-            )
+            b = frames_u8.shape[0]
+            boxes = dets.boxes[:, :reid_topk]
+            imgs = frames_u8.astype(compute_dtype) / 255.0
+            if banded_kernel:
+                from strongsort_yolo_tpu.ops.pallas.crop_kernel import (
+                    banded_crop,
+                )
+
+                crops = banded_crop(imgs, boxes, reid_cfg.crop_hw)
+                if reid_packed:
+                    crops = space_to_depth(crops)
+            elif reid_banded:
+                crops = jax.vmap(
+                    lambda im, bx: crop_and_resize_pyramid(
+                        im, bx, reid_cfg.crop_hw
+                    )
+                )(imgs, boxes)
+                if reid_packed:
+                    crops = space_to_depth(crops)
+            else:  # legacy dense ds2 form (reid_banded=False)
+                crop_fn = (
+                    crop_and_resize_packed if reid_packed else crop_and_resize
+                )
+                crops = jax.vmap(
+                    lambda im, bx: crop_fn(im, bx, reid_cfg.crop_hw)
+                )(imgs, boxes)
             # frames are BGR (cv2 convention); torchreid weights expect
             # RGB — reversed trace-time inside osnet_apply, free
             feats = osnet_apply(
-                reid_params, crops, compute_dtype=compute_dtype,
-                packed_input=reid_packed, channel_order="bgr",
-            )
-            feats = jnp.where(det.valid[:reid_topk, None], feats, 0.0)
+                reid_params,
+                crops.reshape(b * reid_topk, *crops.shape[2:]),
+                compute_dtype=compute_dtype,
+                packed_input=reid_packed,
+                channel_order="bgr",
+            ).reshape(b, reid_topk, -1)
+            feats = jnp.where(dets.valid[:, :reid_topk, None], feats, 0.0)
             if reid_topk < det_cfg.max_det:
                 feats = jnp.pad(
-                    feats, ((0, det_cfg.max_det - reid_topk), (0, 0))
+                    feats,
+                    ((0, 0), (0, det_cfg.max_det - reid_topk), (0, 0)),
                 )
             return feats
+
+        def feats_for(frames_u8, dets):
+            """(B, max_det, feat) ReID features, or None when the
+            tracker runs motion-only."""
+            return embed_batch(frames_u8, dets) if needs_reid else None
+
+        def _stack_det(det):
+            return jax.tree.map(lambda a: a[None], det)
+
+        def _scan_tail(params, track_state, frames_u8, dets, extras,
+                       warps, feats):
+            """lax.scan of _assoc_tail over the leading (time) axis;
+            feats is None for motion-only trackers (static)."""
+            if feats is None:
+                def step(st, inp):
+                    frame, det, ex, warp = inp
+                    st, _d, tout, ex2 = _assoc_tail(
+                        params, st, frame, det, ex, warp
+                    )
+                    return st, (tout, ex2)
+
+                xs = (frames_u8, dets, extras, warps)
+            else:
+                def step(st, inp):
+                    frame, det, ex, warp, ft = inp
+                    st, _d, tout, ex2 = _assoc_tail(
+                        params, st, frame, det, ex, warp, feats=ft
+                    )
+                    return st, (tout, ex2)
+
+                xs = (frames_u8, dets, extras, warps, feats)
+            return jax.lax.scan(step, track_state, xs)
+
+        def _vmap_tail(params, track_states, frames_u8, dets, extras,
+                       warps, feats):
+            """vmap of _assoc_tail over the stream axis."""
+            if feats is None:
+                return jax.vmap(
+                    lambda st, f, d, e, w: _assoc_tail(
+                        params, st, f, d, e, w
+                    )
+                )(track_states, frames_u8, dets, extras, warps)
+            return jax.vmap(
+                lambda st, f, d, e, w, ft: _assoc_tail(
+                    params, st, f, d, e, w, feats=ft
+                )
+            )(track_states, frames_u8, dets, extras, warps, feats)
 
         # GMC off => skip apply_warp at TRACE time: the warp input is
         # ignored and XLA never emits the per-slot covariance
         # transform (256 batched 8x8 matmuls/frame — measurable)
         use_warp = self.gmc.method != "none"
 
-        def _assoc_tail(params, track_state, frame_u8, det, extras, warp):
-            """Everything after detection: (embed) → associate →
-            lifecycle. Shared by the single-stream body and the
-            batched step (where it is the only vmapped part — the
-            model forward runs as one true batch-S program)."""
+        def _assoc_tail(params, track_state, frame_u8, det, extras, warp,
+                        feats=None):
+            """Everything after embedding: associate → lifecycle.
+            Shared by the single-stream body and the batched step; the
+            crop+embed runs OUTSIDE (feats_for) as one true batch
+            program — this tail is the only vmapped/scanned part."""
             warp = warp if use_warp else None
             # association sees the top tracker_max_dets rows (exact:
             # NMS output is confidence-sorted); dets that ranked below
@@ -600,20 +698,17 @@ class Pipeline:
             tc, tv = det.classes[:t_max], det.valid[:t_max]
             n_trunc = jnp.sum(det.valid[t_max:]).astype(jnp.int32)
             if is_strongsort:
-                feats = embed(frame_u8, det)[:t_max]
                 track_state, out = strongsort_step(
-                    track_state, tb, ts, tc, tv, feats, tracker_cfg,
-                    warp=warp,
+                    track_state, tb, ts, tc, tv, feats[:t_max],
+                    tracker_cfg, warp=warp,
                 )
             else:
-                feats = (
-                    embed(frame_u8, det)[:t_max]
-                    if tracker_cfg.with_reid
-                    else None
-                )
                 track_state, out = bytetrack_step(
                     track_state, tb, ts, tc, tv, tracker_cfg,
-                    det_feats=feats, warp=warp,
+                    det_feats=(
+                        feats[:t_max] if feats is not None else None
+                    ),
+                    warp=warp,
                 )
             track_state = track_state._replace(
                 truncated_dets=track_state.truncated_dets + n_trunc
@@ -628,8 +723,10 @@ class Pipeline:
             ``det_index`` can reference."""
             det, extras = detect(params, frame_u8, extras_k=t_max,
                                  packed=packed, resized=resized)
+            feats = feats_for(frame_u8[None], _stack_det(det))
             return _assoc_tail(params, track_state, frame_u8, det,
-                               extras, warp)
+                               extras, warp,
+                               feats=None if feats is None else feats[0])
 
         track_step = jax.jit(_track_body)
 
@@ -648,33 +745,28 @@ class Pipeline:
             packed = _packed_prefix(params)
             out = model_forward(params, frames_u8, packed=packed)
             dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
-
-            def step(st, inp):
-                frame, det, ex, warp = inp
-                st, _det, tout, ex2 = _assoc_tail(
-                    params, st, frame, det, ex, warp
-                )
-                return st, (tout, ex2)
-
-            track_state, (outs, extras) = jax.lax.scan(
-                step, track_state, (frames_u8, dets, extras, warps)
+            feats = feats_for(frames_u8, dets)  # batch-T, before the scan
+            track_state, (outs, extras) = _scan_tail(
+                params, track_state, frames_u8, dets, extras, warps, feats
             )
             return track_state, outs, extras
 
         # batched multi-stream step: ONE true batch-S model forward
         # (unvmapped — see model_forward), then vmap only the per-frame
         # postprocess and the tracker tail over the stream axis
-        # (params broadcast) — per-stream GMC warps, ReID feats, and
-        # seg/pose extras all ride along (SURVEY.md §2.5 DP: streams
-        # are independent, so the batch is collective-free)
+        # (params broadcast) — per-stream GMC warps and seg/pose extras
+        # ride along; the ReID crop+embed runs as ONE (S*topk)-batch
+        # program before the vmap (SURVEY.md §2.5 DP: streams are
+        # independent, so the batch is collective-free)
         @jax.jit
         def batch_step(params, track_states, frames_u8, warps):
             packed = _packed_prefix(params)  # hoisted out of the vmap
             out = model_forward(params, frames_u8, packed=packed)
             dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
-            return jax.vmap(
-                lambda st, f, d, e, w: _assoc_tail(params, st, f, d, e, w)
-            )(track_states, frames_u8, dets, extras, warps)
+            feats = feats_for(frames_u8, dets)
+            return _vmap_tail(
+                params, track_states, frames_u8, dets, extras, warps, feats
+            )
 
         if self.gmc.method != "flow_tpu":
             return _StepSet(
@@ -760,16 +852,9 @@ class Pipeline:
             out = model_forward(params, frames_u8, packed=packed,
                                 resized=resized)
             dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
-
-            def step(st, inp):
-                frame, det, ex, warp = inp
-                st, _det, tout, ex2 = _assoc_tail(
-                    params, st, frame, det, ex, warp
-                )
-                return st, (tout, ex2)
-
-            track_state, (outs, extras) = jax.lax.scan(
-                step, track_state, (frames_u8, dets, extras, est)
+            feats = feats_for(frames_u8, dets)
+            track_state, (outs, extras) = _scan_tail(
+                params, track_state, frames_u8, dets, extras, est, feats
             )
             return track_state, outs, extras, grays[-1]
 
@@ -790,9 +875,10 @@ class Pipeline:
             out = model_forward(params, frames_u8, packed=packed,
                                 resized=resized)
             dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
-            sts, dets, touts, ex = jax.vmap(
-                lambda st, f, d, e, w: _assoc_tail(params, st, f, d, e, w)
-            )(track_states, frames_u8, dets, extras, est)
+            feats = feats_for(frames_u8, dets)
+            sts, dets, touts, ex = _vmap_tail(
+                params, track_states, frames_u8, dets, extras, est, feats
+            )
             return sts, dets, touts, ex, grays
 
         return _StepSet(
