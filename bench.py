@@ -444,6 +444,30 @@ def main() -> None:
     fps_ss_b64 = sb * 35 / (time.perf_counter() - t0)
     log(f"aggregate {sb}-stream strongsort reid_topk=64: {fps_ss_b64:.1f} fps/chip")
 
+    # StrongSORT scaling points past S=16 (VERDICT r3 ask #1: the
+    # north-star metric includes ReID — record where ITS curve knees)
+    def run_ss_batched(S, n=25):
+        bp_s = ss_pipe.track_batch_prepare(S, (h, w))
+        fr = jnp.asarray(np.stack([pool[i % len(pool)] for i in range(S)]))
+        wp = jnp.tile(warp[None], (S, 1, 1))
+        for _ in range(3):
+            bp_s.states, _d, _o, _e = bp_s._steps.batch_step(
+                ss_pipe.params, bp_s.states, fr, wp
+            )
+        jax.block_until_ready(bp_s.states)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            bp_s.states, _d, _o, _e = bp_s._steps.batch_step(
+                ss_pipe.params, bp_s.states, fr, wp
+            )
+        jax.block_until_ready(bp_s.states)
+        fps = S * n / (time.perf_counter() - t0)
+        log(f"aggregate {S}-stream strongsort: {fps:.1f} fps/chip")
+        return fps
+
+    fps_ss_b32 = run_ss_batched(32)
+    fps_ss_b64s = run_ss_batched(64, n=18)
+
     # ---- BASELINE.json config matrix (VERDICT r2 #4): the reference's
     # default model is yolo11n-pose (yolo_multi_model.py:17), and the
     # BASELINE configs name seg and the v5s/v7 StrongSORT backends.
@@ -528,6 +552,8 @@ def main() -> None:
             "aggregate_fps_s32_gmc_flowtpu": round(fps_flow_b32, 2),
             "single_stream_strongsort_fps": round(fps_ss, 2),
             "aggregate_fps_s16_strongsort": round(fps_ss_b, 2),
+            "aggregate_fps_s32_strongsort": round(fps_ss_b32, 2),
+            "aggregate_fps_s64_strongsort": round(fps_ss_b64s, 2),
             "aggregate_fps_s16_strongsort_reid64": round(fps_ss_b64, 2),
             "aggregate_fps_s8": round(fps8, 2),
             "aggregate_fps_s16": round(fps16, 2),

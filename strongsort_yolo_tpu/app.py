@@ -78,6 +78,9 @@ class AppConfig:
     # cost curve in the Pipeline docstring (crowding -> raise it)
     reid_topk: int = 128  # dets embedded per frame (ReID trackers);
     # 64 cuts the embed tax ~in half for scenes under 64 dets
+    reid_auto_topk: bool = False  # batched mode: adapt the embed width
+    # to the live det count with exact full-width behavior (overflowed
+    # ticks replay at a wider bucket — see BatchedPipeline.auto_topk)
     checkpoint_every: int = 0  # save TrackState every N frames (0: only
     # when --resume is set, which defaults the cadence to 25)
     count_line: tuple[float, float, float, float] | None = None
@@ -440,7 +443,9 @@ def _run_group_batched(
     postprocessing with error isolation (SURVEY.md §5.3)."""
     S = len(group)
     _, _, _, width, height = group[0]
-    bp = pipeline.track_batch_prepare(S, (height, width))
+    bp = pipeline.track_batch_prepare(
+        S, (height, width), auto_topk=cfg.reid_auto_topk
+    )
     starts = []
     for s, (source, name, _, _, _) in enumerate(group):
         restored = _try_restore(cfg, name, pipeline.track_state)

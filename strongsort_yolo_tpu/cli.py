@@ -54,10 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
         "measured cost curve in the Pipeline docstring)",
     )
     parser.add_argument(
-        "--reid-topk", type=int, default=128,
+        "--reid-topk", type=str, default="128",
         help="detections embedded per frame by the ReID model "
         "(StrongSORT / BoT-SORT with-reid); 64 halves the embed cost "
-        "for scenes under 64 detections",
+        "for scenes under 64 detections; 'auto' (batched multi-source "
+        "mode) adapts the width to the live det count with exact "
+        "full-width behavior (overflow ticks replay at a wider bucket)",
     )
     parser.add_argument(
         "--classes", nargs="+", type=int, default=None, help="class id filter"
@@ -133,7 +135,8 @@ def main(argv=None) -> int:
         resume=args.resume,
         checkpoint_every=args.checkpoint_every,
         tracker_max_dets=args.tracker_max_dets,
-        reid_topk=args.reid_topk,
+        reid_topk=128 if args.reid_topk == "auto" else int(args.reid_topk),
+        reid_auto_topk=args.reid_topk == "auto",
     )
     for s in run(cfg):
         line = f"[{s.source}] frames={s.frames} fps={s.mean_fps:.2f}"

@@ -83,6 +83,7 @@ def conv_apply(
     act: bool = True,
     eps: float = 1e-3,
     pad: int | tuple[int, int] | None = None,
+    mm1x1: bool = False,
 ) -> jnp.ndarray:
     """Conv -> BN (inference stats) -> SiLU. NHWC in/out.
 
@@ -91,9 +92,27 @@ def conv_apply(
     'same' autopad (even kernels, e.g. the v5 6x6/2 stem uses pad=2;
     a (lo, hi) tuple applies asymmetrically to both spatial axes —
     the packed-transition 2x2 convs use (1, 0)).
+
+    mm1x1: emit eligible 1x1 convs as an explicit (N*H*W, Cin) x
+    (Cin, Cout) dot instead of lax.conv — on huge-batch tiny-spatial
+    inputs (the 2048-crop OSNet stack) XLA's conv emitter picks
+    batch-in-minor layouts that run at ~4% MXU; the dot form gets the
+    standard matmul layouts. Same math (f32 MXU accumulation either
+    way).
     """
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
+    if (
+        mm1x1 and k == 1 and stride == 1 and groups == 1
+        and dilation == 1
+    ):
+        n, hh, ww, cin = x.shape
+        y = jax.lax.dot_general(
+            x.reshape(n * hh * ww, cin),
+            w.reshape(cin, w.shape[3]),
+            (((1,), (0,)), ((), ())),
+        ).reshape(n, hh, ww, w.shape[3])
+        return bn_act(p, y, eps=eps, act=act)
     if pad is None:
         pad = autopad(k, dilation)
     pad2 = pad if isinstance(pad, tuple) else (pad, pad)

@@ -64,13 +64,15 @@ class OsnetConfig:
 def _relu_conv(p, x, *, stride: int = 1, groups: int = 1):
     """conv + BN + ReLU (torchreid ConvLayer / Conv1x1)."""
     return jax.nn.relu(
-        C.conv_apply(p, x, stride=stride, groups=groups, act=False, eps=BN_EPS)
+        C.conv_apply(p, x, stride=stride, groups=groups, act=False,
+                     eps=BN_EPS, mm1x1=True)
     )
 
 
 def _linear_conv(p, x, *, groups: int = 1):
     """conv + BN, NO activation (torchreid Conv1x1Linear)."""
-    return C.conv_apply(p, x, groups=groups, act=False, eps=BN_EPS)
+    return C.conv_apply(p, x, groups=groups, act=False, eps=BN_EPS,
+                        mm1x1=True)
 
 
 def _init_lite_conv(key, c_in, c_out):
@@ -93,7 +95,7 @@ def _init_lite_conv(key, c_in, c_out):
 
 
 def _lite_conv_apply(p, x):
-    x = C.conv_apply(p["pw"], x, act=False)  # pure linear
+    x = C.conv_apply(p["pw"], x, act=False, mm1x1=True)  # pure linear
     return _relu_conv(p["dw"], x, groups=x.shape[-1])
 
 

@@ -1,0 +1,98 @@
+"""auto_topk: the adaptive ReID embed width must be BEHAVIORALLY
+INVISIBLE — every committed tick identical to the fixed full-width
+program (VERDICT r3 ask #1: cost tracks real dets with an
+identical-behavior guarantee; overflow ticks replay at a wider bucket
+from the saved pre-tick state)."""
+
+import numpy as np
+import pytest
+
+from strongsort_yolo_tpu.config import DetectorConfig
+from strongsort_yolo_tpu.pipeline import Pipeline
+
+
+def _frames(t, n_rects, S=2, hw=(320, 320)):
+    """S frames with n_rects trained-distribution shaded rectangles on
+    a non-overlapping 3x3 grid (deterministic det counts; tiny drift
+    per tick so the tracker sees motion)."""
+    h, w = hw
+    rng = np.random.default_rng(1000)
+    out = np.empty((S, h, w, 3), np.uint8)
+    cells = [(r, c) for r in range(3) for c in range(3)]
+    for s in range(S):
+        f = (np.random.default_rng(1000 + t * 7 + s)
+             .uniform(0, 0.3, (h, w, 3)) * 255).astype(np.uint8)
+        for i in range(n_rects):
+            r, c = cells[i % 9]
+            size = 64
+            x = c * 106 + 12 + (t % 5)
+            y = r * 106 + 12 + (t % 3)
+            f[y:y + size, x:x + size] = int((0.5 + 0.16 * (i % 3)) * 255)
+        out[s] = f
+    return out
+
+
+def _mk_pipe():
+    import os
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "assets", "yolov8n_synth160.npz"
+    )
+    return Pipeline(
+        DetectorConfig(weights=ckpt, imgsz=160, half=False, max_det=16),
+        tracker="strongsort.yaml", track_slots=16, tracker_max_dets=16,
+        reid_topk=16,
+    )
+
+
+def test_auto_topk_identical_to_full_width():
+    # load profile: sparse long enough to trigger the hysteresis
+    # down-switch (30-tick window), then a dense burst that overflows
+    # the dropped bucket and must trigger the exact replay
+    schedule = [1] * 33 + [9] * 4 + [1] * 3
+    frame_seq = [_frames(t, n) for t, n in enumerate(schedule)]
+
+    pipe = _mk_pipe()
+    bp_fixed = pipe.track_batch_prepare(2, (320, 320))
+    ref = [bp_fixed.step(f) for f in frame_seq]
+
+    pipe2 = _mk_pipe()
+    bp_auto = pipe2.track_batch_prepare(2, (320, 320), auto_topk=True)
+    assert bp_auto._ladder == [8, 16]
+    buckets = []
+    got = []
+    for f in frame_seq:
+        got.append(bp_auto.step(f))
+        buckets.append(bp_auto._bucket)
+
+    # the ladder really moved: dropped to 8 in the sparse phase and
+    # came back up for the dense burst
+    assert 8 in buckets, buckets
+    assert buckets[34] == 16, buckets  # burst forced the wide bucket
+
+    for t, (rs_ref, rs_got) in enumerate(zip(ref, got)):
+        for s, (a, b) in enumerate(zip(rs_ref, rs_got)):
+            assert len(a.boxes) == len(b.boxes), (t, s)
+            np.testing.assert_allclose(
+                a.boxes.xyxy, b.boxes.xyxy, atol=1e-3, err_msg=f"t={t} s={s}"
+            )
+            if a.boxes.id is not None:
+                np.testing.assert_array_equal(a.boxes.id, b.boxes.id)
+
+
+def test_auto_topk_replay_count_is_bounded():
+    """Counts at or below the bucket must never replay (no pathological
+    double-dispatch under steady load)."""
+    pipe = _mk_pipe()
+    bp = pipe.track_batch_prepare(2, (320, 320), auto_topk=True)
+    calls = {"n": 0}
+    orig = bp._dispatch
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    bp._dispatch = counting
+    for t in range(6):
+        bp.step(_frames(t, 2))
+    assert calls["n"] == 6, calls  # bucket starts at cap: never replays

@@ -18,7 +18,9 @@ from strongsort_yolo_tpu.config import DetectorConfig  # noqa: E402
 from strongsort_yolo_tpu.pipeline import Pipeline  # noqa: E402
 
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-topk = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+topk_arg = sys.argv[2] if len(sys.argv) > 2 else "128"
+auto = topk_arg == "auto"
+topk = 128 if auto else int(topk_arg)
 h, w = 1080, 1920
 pool = B.make_frames(h, w)
 frames = jnp.asarray(np.stack([pool[i % 8] for i in range(S)]))
@@ -34,10 +36,14 @@ def run(banded):
         reid_banded=banded,
     )
     B.calibrate_candidates(pipe, pool[0], 0.3, B.TARGET_DETS)
-    bp = pipe.track_batch_prepare(S, (h, w))
-    for _ in range(3):
+    bp = pipe.track_batch_prepare(S, (h, w), auto_topk=auto)
+    # auto: warm PAST the 30-tick hysteresis window so the timed loop
+    # measures the converged bucket (each tick syncs on the count)
+    for _ in range(35 if auto else 3):
         bp.step_async(frames, warps)
     jax.block_until_ready(bp.states)
+    if auto:
+        print(f"auto bucket converged: {bp._bucket}", flush=True)
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
@@ -46,7 +52,7 @@ def run(banded):
     dt = time.perf_counter() - t0
     fps = n * S / dt
     print(
-        f"banded={banded} topk={topk}: {fps:.1f} fps/chip "
+        f"banded={banded} topk={topk_arg}: {fps:.1f} fps/chip "
         f"({dt/n*1e3:.2f} ms/dispatch, S={S})",
         flush=True,
     )
