@@ -358,6 +358,53 @@ def main() -> None:
                (48, fps48, mfu48), (64, fps64, mfu64)]
     S, fps_agg, mfu_agg = max(scaling, key=lambda t: t[1])
 
+    # int8 PTQ rows (VERDICT r3 ask #2): same calibrated detector with
+    # the backbone+neck quantized post-hoc (ops/quant.quantize_model —
+    # per-channel int8 weights, dynamic per-tensor int8 activations,
+    # int32 MXU accumulation; v5e int8 peak is 2x bf16). MFU is
+    # reported against the BF16 peak for comparability — the int8
+    # bound is half the printed distance-to-peak.
+    from strongsort_yolo_tpu.ops.quant import quantize_model
+
+    q_pipe = _P(det_cfg, tracker=tracker, track_slots=256)
+    q_pipe.params, _nq = quantize_model(pipe.params)
+    q_steps = q_pipe._get_step((h, w))
+    q_state = q_pipe.track_state
+    q_state, q_outs, _ = q_steps.track_chunk(
+        q_pipe.params, q_state, dev_frames, warps
+    )
+    jax.block_until_ready(q_outs)
+    t0 = time.perf_counter()
+    for _ in range(FRAMES // chunk):
+        q_state, q_outs, _ = q_steps.track_chunk(
+            q_pipe.params, q_state, dev_frames, warps
+        )
+    jax.block_until_ready((q_state, q_outs))
+    fps_int8 = FRAMES / (time.perf_counter() - t0)
+    log(f"single-stream int8 (backbone+neck PTQ): {fps_int8:.1f} fps")
+
+    bq = q_pipe.track_batch_prepare(64, (h, w))
+    frames_q = jnp.asarray(np.stack([pool[i % len(pool)] for i in range(64)]))
+    warps_q = jnp.tile(warp[None], (64, 1, 1))
+    for _ in range(3):
+        bq.states, dets_q, _o, _e = bq._steps.batch_step(
+            q_pipe.params, bq.states, frames_q, warps_q
+        )
+    jax.block_until_ready(bq.states)
+    ndet_q = int(np.asarray(dets_q.count)[0])
+    t0 = time.perf_counter()
+    for _ in range(25):
+        bq.states, _d, _o, _e = bq._steps.batch_step(
+            q_pipe.params, bq.states, frames_q, warps_q
+        )
+    jax.block_until_ready(bq.states)
+    fps_int8_b64 = 64 * 25 / (time.perf_counter() - t0)
+    log(
+        f"aggregate 64-stream int8: {fps_int8_b64:.1f} fps/chip, "
+        f"MFU(bf16-peak) {100 * fps_int8_b64 * flops_frame / V5E_BF16_PEAK:.1f}% "
+        f"({ndet_q} dets/frame)"
+    )
+
     # reference-default-config batched figure: botsort GMC active on
     # every stream (device flow_tpu, estimated in-step)
     sb = 16
@@ -561,6 +608,11 @@ def main() -> None:
             "aggregate_fps_s48": round(fps48, 2),
             "aggregate_fps_s64": round(fps64, 2),
             "aggregate_mfu": round(mfu_agg, 4),
+            "single_stream_int8_fps": round(fps_int8, 2),
+            "aggregate_fps_s64_int8": round(fps_int8_b64, 2),
+            "aggregate_mfu_int8_vs_bf16_peak": round(
+                fps_int8_b64 * flops_frame / V5E_BF16_PEAK, 4
+            ),
             **matrix,
             "gflop_per_frame": round(flops_frame / 1e9, 2),
             "max_det": det_cfg.max_det,

@@ -34,6 +34,10 @@ class DetectorConfig:
     classes: tuple[int, ...] | None = None  # optional class filter (:22)
     half: bool = True  # bfloat16 compute on TPU
     fuse: bool = True  # fold BN into convs
+    quant: str | None = None  # "int8": post-training quantization of
+    # the fused conv stack (ops/quant.py — per-channel int8 weights,
+    # dynamic per-tensor int8 activations, int32 MXU accumulation;
+    # v5e int8 peak is 2x bf16). Head output layers stay bf16.
 
 
 # Built-in tracker configs by name — the reference passes

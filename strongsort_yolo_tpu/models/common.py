@@ -100,6 +100,13 @@ def conv_apply(
     standard matmul layouts. Same math (f32 MXU accumulation either
     way).
     """
+    if "wq" in p:  # int8 PTQ params (ops/quant.quantize_model)
+        from strongsort_yolo_tpu.ops import quant
+
+        return quant.conv_int8_apply(
+            p, x, stride=stride, groups=groups, dilation=dilation,
+            act=act, pad=pad,
+        )
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
     if (

@@ -248,6 +248,18 @@ class Pipeline:
                 params = fuse_yolov7(params)  # RepConv reparam + BN fold
             else:
                 params = fuse_model(params)
+        if det_cfg.quant == "int8":
+            from strongsort_yolo_tpu.ops.quant import quantize_model
+
+            if not det_cfg.fuse:
+                raise ValueError("quant='int8' requires fuse=True")
+            params, n_q = quantize_model(params)
+            if n_q == 0:
+                raise ValueError(
+                    "quant='int8' found no fused convs to quantize"
+                )
+        elif det_cfg.quant is not None:
+            raise ValueError(f"unknown quant mode {det_cfg.quant!r}")
         self.params = params
         self.names = names or dict(COCO_NAMES)
         self.tracker_cfg = (

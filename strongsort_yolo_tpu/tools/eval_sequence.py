@@ -104,10 +104,22 @@ def main(argv=None):
     ap.add_argument("--cycles", type=int, default=2)
     ap.add_argument("--pan", type=float, default=0.0)
     ap.add_argument("--gmc", default="none")
+    ap.add_argument("--lk-iters", default=None, metavar="a,b,c",
+                    help="override gmc_tpu._ITERS_BY_LEVEL (e.g. "
+                    "'12,12,12' to A/B the finest-level iteration cut "
+                    "against the shipped '4,8,12' — advisor r3 ask: "
+                    "a real-scene regression check for the schedule)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the ambient (axon TPU) backend")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.lk_iters:
+        from strongsort_yolo_tpu.track import gmc_tpu
+
+        gmc_tpu._ITERS_BY_LEVEL = tuple(
+            int(v) for v in args.lk_iters.split(",")
+        )
 
     from strongsort_yolo_tpu.media.video import OcclusionRelayClip
 

@@ -17,10 +17,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-R = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 
 def timed_chain(name, f, x, gflop):
-    lo, hi = 8, 8 + R
+    lo, hi = 10, 10 + R
 
     def mk(r):
         @jax.jit
@@ -36,9 +36,11 @@ def timed_chain(name, f, x, gflop):
 
     clo, chi = mk(lo), mk(hi)
     jax.block_until_ready(clo(x)); jax.block_until_ready(chi(x))
-    t0 = time.perf_counter(); jax.block_until_ready(clo(x + 1)); tl = time.perf_counter() - t0
-    t0 = time.perf_counter(); jax.block_until_ready(chi(x + 1)); th = time.perf_counter() - t0
-    per = (th - tl) / R
+    tls, ths = [], []
+    for k in (1, 2, 3):  # distinct inputs (relay caches equal args);
+        t0 = time.perf_counter(); jax.block_until_ready(clo(x + k)); tls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); jax.block_until_ready(chi(x + k)); ths.append(time.perf_counter() - t0)
+    per = (min(ths) - min(tls)) / R
     print(f"{name:44s} {per*1e3:8.3f} ms/iter  {gflop/per/1e3:8.1f} TF/s(eq)",
           flush=True)
     return per

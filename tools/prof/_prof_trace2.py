@@ -8,16 +8,19 @@ import re
 import time
 from collections import defaultdict
 
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, ".")
 import bench as B
 from strongsort_yolo_tpu.config import DetectorConfig
 from strongsort_yolo_tpu.pipeline import Pipeline
 from strongsort_yolo_tpu.track.bytetrack import ByteTrackConfig
 
-S = 32
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 h, w = 1080, 1920
 tcfg = ByteTrackConfig(tracker_type="botsort", gmc_method="none")
 pipe = Pipeline(
