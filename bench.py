@@ -368,6 +368,8 @@ def main() -> None:
 
     q_pipe = _P(det_cfg, tracker=tracker, track_slots=256)
     q_pipe.params, _nq = quantize_model(pipe.params)
+    n_cal = q_pipe.calibrate_int8([pool[0]])  # static act scales (CPU)
+    log(f"int8: quantized {_nq} convs, calibrated {n_cal}")
     q_steps = q_pipe._get_step((h, w))
     q_state = q_pipe.track_state
     q_state, q_outs, _ = q_steps.track_chunk(

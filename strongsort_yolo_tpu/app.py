@@ -81,6 +81,9 @@ class AppConfig:
     reid_auto_topk: bool = False  # batched mode: adapt the embed width
     # to the live det count with exact full-width behavior (overflowed
     # ticks replay at a wider bucket — see BatchedPipeline.auto_topk)
+    quant: str | None = None  # "int8": PTQ of the detector conv stack
+    # (ops/quant.py); activation scales auto-calibrate on the first
+    # decoded frame of the first source
     checkpoint_every: int = 0  # save TrackState every N frames (0: only
     # when --resume is set, which defaults the cadence to 25)
     count_line: tuple[float, float, float, float] | None = None
@@ -345,6 +348,7 @@ def process_video(
     ckpt_every = _ckpt_every(cfg) if cfg.track else 0
     frame_id = 0
     pending = None  # (frame, frame_id, async handle)
+    calibrated = cfg.quant != "int8"
     try:
         for frame in reader:
             frame_id += 1
@@ -353,6 +357,12 @@ def process_video(
             if cfg.max_frames and frame_id > cfg.max_frames:
                 frame_id -= 1
                 break
+            if not calibrated:
+                # static int8 activation scales from the first real
+                # frame (CPU eager, ops/quant.calibrate_scales)
+                n_cal = pipeline.calibrate_int8([frame])
+                print(f"[INFO] int8: calibrated {n_cal} convs")
+                calibrated = True
             try:
                 if cfg.track:
                     with ctx.timers.stage("dispatch"):
@@ -522,6 +532,14 @@ def _run_group_batched(
                 f = last[s]
             frames.append(f)
         if mask.any():
+            if tick == 0 and cfg.quant == "int8":
+                # static activation scales from the first real frames
+                # (CPU eager, ops/quant.calibrate_scales)
+                n_cal = pipeline.calibrate_int8(
+                    [frames[s] for s in range(S) if mask[s]][:2]
+                )
+                bp.refresh_steps()
+                print(f"[INFO] int8: calibrated {n_cal} convs")
             # dispatch tick t, then materialize + draw tick t-1 while
             # the device computes (JAX async dispatch)
             handle = bp.step_async(np.stack(frames))
@@ -571,6 +589,7 @@ def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
         max_det=cfg.max_det,
         classes=cfg.classes,
         half=cfg.half,
+        quant=cfg.quant,
     )
     base = Pipeline(
         det_cfg, tracker=cfg.tracker, seed=cfg.seed,

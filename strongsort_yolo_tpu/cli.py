@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="reference-exact label files (frame id 0, append across runs)",
     )
     parser.add_argument("--no-half", action="store_true", help="float32 compute")
+    parser.add_argument(
+        "--quant", choices=("int8",), default=None,
+        help="post-training quantization of the detector conv stack "
+        "(per-channel int8 weights, static activation scales "
+        "calibrated on the first frame; v5e int8 MXU peak is 2x bf16)",
+    )
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument(
         "--log-events", type=str, default=None,
@@ -129,6 +135,7 @@ def main(argv=None) -> int:
         save=not args.no_save,
         compat_labels=args.compat_labels,
         half=not args.no_half,
+        quant=args.quant,
         max_frames=args.max_frames,
         multi_mode=args.multi_mode,
         log_events=args.log_events,

@@ -56,8 +56,20 @@ def conv_int8_apply(
     if pad is None:
         pad = autopad(k, dilation)
     pad2 = pad if isinstance(pad, tuple) else (pad, pad)
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    xscale = jnp.maximum(amax, 1e-6) / 127.0
+    if "xscale" in p:
+        # static calibrated scale (calibrate_scales): the quantize is
+        # a pure elementwise chain XLA fuses into the producer — no
+        # extra reduction pass over x
+        xscale = p["xscale"].astype(jnp.float32)
+    else:
+        # dynamic per-tensor scale: one extra abs-max pass over x
+        # (measured -19% on the S=64 step vs bf16 — calibrate instead)
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        xscale = jnp.maximum(amax, 1e-6) / 127.0
+    if _CALIB is not None:  # eager calibration pass (calibrate_scales)
+        cur = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        key = id(p["wq"])
+        _CALIB[key] = max(_CALIB.get(key, 0.0), cur)
     xq = jnp.clip(
         jnp.round(x.astype(jnp.float32) / xscale), -127, 127
     ).astype(jnp.int8)
@@ -77,6 +89,48 @@ def conv_int8_apply(
     return y.astype(x.dtype)
 
 
+_CALIB: dict | None = None
+
+
+def calibrate_scales(apply_fn, frames) -> None:
+    """Run ``apply_fn(frame)`` eagerly for each calibration frame with
+    activation recording on; then call :func:`inject_scales` on the
+    quantized tree. ``apply_fn`` must execute the QUANTIZED model
+    (conv_int8_apply records each quantized conv's input abs-max,
+    keyed by the identity of its weight array)."""
+    global _CALIB
+    _CALIB = {}
+    try:
+        with jax.disable_jit():
+            for f in frames:
+                apply_fn(f)
+    finally:
+        stats, _CALIB = _CALIB, None
+    return stats
+
+
+def inject_scales(params, stats: dict, *, headroom: float = 1.0):
+    """Write static ``xscale`` leaves into the quantized tree from a
+    calibrate_scales() stats dict (amax keyed by id(wq))."""
+    n = [0]
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "wq" in node and id(node["wq"]) in stats:
+                out = dict(node)
+                amax = max(stats[id(node["wq"])], 1e-6) * headroom
+                out["xscale"] = jnp.float32(amax / 127.0)
+                n[0] += 1
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [walk(v) for v in node]
+            return type(node)(seq) if isinstance(node, tuple) else seq
+        return node
+
+    return walk(params), n[0]
+
+
 def _is_fused_conv(node) -> bool:
     return (
         isinstance(node, dict)
@@ -91,13 +145,21 @@ def quantize_model(
     *,
     skip_paths: tuple[str, ...] = (
         "detect", "head", "proto", "seg", "kpt",
+        # the packed-prefix layers (ops/pack re-indexes their float
+        # weights at trace time on TPU), which are also exactly the
+        # narrow lane-bound stages where int8 measured ~nothing
+        # (tools/prof/_prof_int8.py: 32-ch k3 18.2 -> 19.1 TF/s)
+        "/stem", "/down1", "/stage1", "/down2", "/stage2",
     ),
     min_kk: int = 1,
 ) -> tuple:
     """Walk a FUSED param tree (fuse_conv_bn already applied) and
-    quantize every conv whose path does not contain a skip marker
-    (default: the whole detect/seg/pose head stays bf16 — its logits
-    feed decode thresholds directly; backbone + neck quantize).
+    quantize every conv whose path does not contain a skip marker.
+    Defaults: the detect/seg/pose head stays bf16 (its logits feed
+    decode thresholds directly) and the packed-prefix narrow stages
+    stay bf16 (see inline note); the deep backbone (stage3+, sppf) and
+    the neck — the wide compute-bound layers where int8 measured
+    +40-63% — quantize.
 
     -> (quantized tree, number of convs quantized)."""
     n = [0]

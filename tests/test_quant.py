@@ -63,11 +63,21 @@ def test_quantize_model_covers_backbone_not_head():
 
     n_q_head = count(q, lambda d, p: "wq" in d and "/detect" in p)
     assert n_q_head == 0, "head must stay float"
-    n_f_backbone = count(
-        q, lambda d, p: "w" in d and getattr(d.get("w"), "ndim", 0) == 4
-        and "/backbone" in p
+    # the packed-prefix narrow stages stay float (ops/pack re-indexes
+    # their weights at trace time; int8 measured ~nothing there)
+    n_q_prefix = count(
+        q, lambda d, p: "wq" in d and any(
+            s in p for s in ("/stem", "/down1", "/stage1", "/down2",
+                             "/stage2")
+        )
     )
-    assert n_f_backbone == 0, "backbone must be fully quantized"
+    assert n_q_prefix == 0, "packed-prefix stages must stay float"
+    n_q_deep = count(
+        q, lambda d, p: "wq" in d
+        and ("/stage3" in p or "/stage4" in p or "/sppf" in p
+             or "/neck" in p)
+    )
+    assert n_q_deep >= 10, n_q_deep
 
 
 def test_int8_weight_roundtrip_error_bounded():

@@ -33,7 +33,14 @@ B.calibrate_candidates(base, pool[0], 0.3, B.TARGET_DETS)
 
 def run(quant):
     pipe = Pipeline(det_cfg, tracker=tracker, track_slots=256)
-    pipe.params = quantize_model(base.params)[0] if quant else base.params
+    if quant:
+        pipe.params = quantize_model(base.params)[0]
+        t0 = time.perf_counter()
+        n = pipe.calibrate_int8([pool[0]])
+        print(f"calibrated {n} convs in {time.perf_counter()-t0:.0f}s",
+              flush=True)
+    else:
+        pipe.params = base.params
     bp = pipe.track_batch_prepare(S, (h, w))
     for _ in range(3):
         bp.states, dets, _o, _e = bp._steps.batch_step(
