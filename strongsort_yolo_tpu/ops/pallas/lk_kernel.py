@@ -71,15 +71,11 @@ def _solve6(h_mat, g_vec, damp):
     return x
 
 
-def _lk_kernel(prev_ref, cur_ref, p_ref, out_ref, *, h, w, m, iters):
-    """prev_ref/cur_ref: (hp, wp) f32 zero-padded up from the TRUE
-    (h, w) to sublane/lane tile multiples (Mosaic rotates need aligned
-    shapes); p_ref/out_ref: (1, 8) f32 (params in [0:6]). Geometry
-    (center, normalization, masks) uses the true h, w — padded pixels
-    are excluded by the validity mask, and rolls only wrap values into
-    already-masked regions."""
-    prev = prev_ref[...]
-    cur = cur_ref[...]
+def _refine_level(prev, cur, p0, *, h, w, m, iters):
+    """Gauss-Newton refinement on one (loaded, padded) level plane
+    pair — the body shared by the per-level kernel and the merged
+    3-level pyramid kernel. p0: 6-tuple of scalars; returns the same.
+    """
     hp, wp = prev.shape  # padded (tile-aligned) dims
     s = jnp.float32(w / 2.0)
     cx, cy = jnp.float32((w - 1) / 2.0), jnp.float32((h - 1) / 2.0)
@@ -169,12 +165,101 @@ def _lk_kernel(prev_ref, cur_ref, p_ref, out_ref, *, h, w, m, iters):
             a21 - d[3], a22 - d[4], ty - d[5],
         )
 
+    return jax.lax.fori_loop(0, iters, it, p0)
+
+
+def _lk_kernel(prev_ref, cur_ref, p_ref, out_ref, *, h, w, m, iters):
+    """prev_ref/cur_ref: (hp, wp) f32 zero-padded up from the TRUE
+    (h, w) to sublane/lane tile multiples (Mosaic rotates need aligned
+    shapes); p_ref/out_ref: (1, 8) f32 (params in [0:6]). Geometry
+    (center, normalization, masks) uses the true h, w — padded pixels
+    are excluded by the validity mask, and rolls only wrap values into
+    already-masked regions."""
     p = tuple(p_ref[0, i] for i in range(6))
-    p = jax.lax.fori_loop(0, iters, it, p)
+    p = _refine_level(
+        prev_ref[...], cur_ref[...], p, h=h, w=w, m=m, iters=iters
+    )
     out_ref[0, :] = jnp.stack(
         [p[0], p[1], p[2], p[3], p[4], p[5],
          jnp.float32(0.0), jnp.float32(0.0)]
     )
+
+
+def _lk_pyramid_kernel(*refs, dims, m, iters_by_level):
+    """Coarse-to-fine over ALL pyramid levels in ONE kernel call —
+    three per-level calls each paid a ~250-290us in-program floor at
+    S=16 (dispatch + plane DMA warmup) regardless of level size or
+    iteration count; merged, the floor is paid once.
+
+    refs: prev_L-1, cur_L-1, ..., prev_0, cur_0 (coarsest FIRST),
+    then p_ref, out_ref. dims: matching list of true (h, w).
+    """
+    p_ref, out_ref = refs[-2], refs[-1]
+    p = tuple(p_ref[0, i] for i in range(6))
+    n = len(dims)
+    for i in range(n):
+        lvl = n - 1 - i  # level index in gmc terms (0 = finest)
+        p = _refine_level(
+            refs[2 * i][...], refs[2 * i + 1][...], p,
+            h=dims[i][0], w=dims[i][1], m=m,
+            iters=iters_by_level[min(lvl, len(iters_by_level) - 1)],
+        )
+    out_ref[0, :] = jnp.stack(
+        [p[0], p[1], p[2], p[3], p[4], p[5],
+         jnp.float32(0.0), jnp.float32(0.0)]
+    )
+
+
+def _pad_plane(x):
+    h, w = x.shape
+    hp = -(-h // 8) * 8
+    wp = max(128, -(-w // 128) * 128)
+    if (hp, wp) != (h, w):
+        x = jnp.pad(x, ((0, hp - h), (0, wp - w)))
+    return x.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "iters_by_level", "interpret")
+)
+def lk_pyramid_pallas(
+    pyr_prev: tuple,  # level planes, FINEST first (gmc convention)
+    pyr_cur: tuple,
+    params: jnp.ndarray,  # (6,) f32 normalized affine
+    *,
+    m: int,
+    iters_by_level: tuple,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All pyramid levels coarse-to-fine in ONE kernel call (see
+    _lk_pyramid_kernel). Identical math to sequential lk_level_pallas
+    calls."""
+    n = len(pyr_prev)
+    dims = tuple(tuple(p.shape) for p in reversed(pyr_prev))
+    planes = []
+    for i in range(n - 1, -1, -1):  # coarsest first
+        planes.append(_pad_plane(pyr_prev[i]))
+        planes.append(_pad_plane(pyr_cur[i]))
+    kernel = functools.partial(
+        _lk_pyramid_kernel, dims=dims, m=m,
+        iters_by_level=tuple(iters_by_level),
+    )
+    p8 = jnp.zeros((1, 8), jnp.float32).at[0, :6].set(params)
+    total_px = sum(h * w for h, w in dims)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n + 1),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=sum(it * h * w * 60 for (h, w), it in
+                      zip(dims, reversed(iters_by_level))),
+            bytes_accessed=(2 * total_px + 64) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*planes, p8)
+    return out[0, :6]
 
 
 @functools.partial(

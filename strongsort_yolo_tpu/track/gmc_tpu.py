@@ -100,8 +100,12 @@ def gray_from_resized(resized_bgr: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pool2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 mean pool — emitted as the MXU matmul resampler: bilinear
+    half-size with half-pixel centers IS the exact 2x2 mean (taps 0.5
+    at rows 2i, 2i+1), and the reshape-mean form measured 310us/step
+    at S=16 (layout-hostile reshape) vs the matmul's ~usec."""
     h, w = img.shape
-    return img.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return resize_bilinear_matmul(img[..., None], h // 2, w // 2)[..., 0]
 
 
 def _blur(img: jnp.ndarray) -> jnp.ndarray:
@@ -300,13 +304,32 @@ def estimate_warp(
         pyr_c.append(_pool2(pyr_c[-1]))
 
     params = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)
-    for lvl in range(_LEVELS - 1, -1, -1):
-        # params are centered width-normalized (_lk_level) and thus
-        # LEVEL-INVARIANT: coarse-to-fine needs no rescaling
-        params = _lk_level(
-            _blur(pyr_p[lvl]), _blur(pyr_c[lvl]), params, method=method,
-            iters=_ITERS_BY_LEVEL[min(lvl, len(_ITERS_BY_LEVEL) - 1)],
+    if method is None:
+        method = "pallas" if runtime.target_platform() == "tpu" else "xla"
+    if method.startswith("pallas"):
+        # ALL levels coarse-to-fine in ONE kernel call: three per-level
+        # calls paid ~250-290us each at S=16 regardless of level size
+        # (in-program dispatch/DMA floor — _prof_cfgtrace flowbatch)
+        from strongsort_yolo_tpu.ops.pallas.lk_kernel import (
+            lk_pyramid_pallas,
         )
+
+        params = lk_pyramid_pallas(
+            tuple(_blur(p) for p in pyr_p),
+            tuple(_blur(c) for c in pyr_c),
+            params,
+            m=_MAX_SHIFT,
+            iters_by_level=tuple(_ITERS_BY_LEVEL),
+            interpret=(method == "pallas_interpret"),
+        )
+    else:
+        for lvl in range(_LEVELS - 1, -1, -1):
+            # params are centered width-normalized (_lk_level) and thus
+            # LEVEL-INVARIANT: coarse-to-fine needs no rescaling
+            params = _lk_level(
+                _blur(pyr_p[lvl]), _blur(pyr_c[lvl]), params, method=method,
+                iters=_ITERS_BY_LEVEL[min(lvl, len(_ITERS_BY_LEVEL) - 1)],
+            )
 
     a11, a12, tx, a21, a22, ty = (params[i] for i in range(6))
     # normalized -> base pixel coords
