@@ -294,8 +294,11 @@ def yolov7_apply(
         n, h, w, _ = f.shape
         s = cfg.strides[i]
         raw = C.conv2d_bias_apply(p["detect"]["m"][i], f)
-        raw = raw.reshape(n, h, w, cfg.na, 5 + cfg.nc).astype(jnp.float32)
-        sig = jax.nn.sigmoid(raw)
+        # sigmoid in the compute dtype; cast to f32 ONLY the 4 box
+        # channels (grid offsets up to 80 would eat bf16 mantissa) —
+        # f32-casting the whole (n,h,w,3,85) tensor cost ~2 ms/step of
+        # layout copies at S=16 (tools/prof/_prof_cfgtrace yolov7)
+        sig = jax.nn.sigmoid(raw.reshape(n, h, w, cfg.na, 5 + cfg.nc))
         gy, gx = jnp.meshgrid(
             jnp.arange(h, dtype=jnp.float32),
             jnp.arange(w, dtype=jnp.float32),
@@ -303,10 +306,14 @@ def yolov7_apply(
         )
         grid = jnp.stack([gx, gy], -1)[None, :, :, None, :]
         anchor = jnp.asarray(V7_ANCHORS[i], jnp.float32)[None, None, None]
-        xy = (sig[..., :2] * 2.0 - 0.5 + grid) * s
-        wh = (sig[..., 2:4] * 2.0) ** 2 * anchor
+        xy = (sig[..., :2].astype(jnp.float32) * 2.0 - 0.5 + grid) * s
+        wh = (sig[..., 2:4].astype(jnp.float32) * 2.0) ** 2 * anchor
         boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1).reshape(n, -1, 4)
-        scores = (sig[..., 4:5] * sig[..., 5:]).reshape(n, -1, cfg.nc)
+        scores = (
+            (sig[..., 4:5] * sig[..., 5:])
+            .astype(jnp.float32)
+            .reshape(n, -1, cfg.nc)
+        )
         boxes_all.append(boxes)
         scores_all.append(scores)
     return {
