@@ -550,6 +550,8 @@ def _run_group_batched(
             if ckpt_every and tick % ckpt_every == 0:
                 import jax as _jax
 
+                bp.sync()  # commit pending auto_topk ticks before
+                # reading .states (tentative while ticks are pending)
                 for s in range(S):
                     if mask[s]:
                         _save_ckpt(
@@ -564,6 +566,7 @@ def _run_group_batched(
 
     for t in threads:
         t.join(timeout=5.0)
+    bp.sync()
     return [
         ctx.finish(int(n), track_state=bp.states, stream_idx=s)
         for s, (ctx, n) in enumerate(zip(ctxs, frame_ids))

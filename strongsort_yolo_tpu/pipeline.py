@@ -273,8 +273,10 @@ class Pipeline:
         self.reid_params = None
         self.reid_topk = reid_topk
         self.reid_banded = reid_banded
+        from strongsort_yolo_tpu.ops.runtime import target_platform
+
         self.reid_packed = (
-            jax.default_backend() == "tpu"
+            target_platform() == "tpu"
             if reid_packed is None
             else reid_packed
         )
@@ -382,9 +384,11 @@ class Pipeline:
         # the 3x3 taps cost 4x the FLOPs) — so it is enabled for
         # batch_step only. The transform is computed once per dispatch,
         # hoisted out of the vmap body.
+        from strongsort_yolo_tpu.ops.runtime import target_platform
+
         is_v8family = not self._is_v5 and not self._is_v7
         use_pack = (
-            is_v8family and size % 4 == 0 and jax.default_backend() != "cpu"
+            is_v8family and size % 4 == 0 and target_platform() != "cpu"
         )
         # v7 keeps two full-resolution stride-1 stem convs; packing
         # them (ops/pack.pack_v7_prefix) removes the 640x640x32 layout
@@ -582,7 +586,12 @@ class Pipeline:
         reid_banded = self.reid_banded
         if reid_banded is None:
             reid_banded = True
-        banded_kernel = reid_banded and jax.default_backend() == "tpu"
+        # target_platform (NOT jax.default_backend): the program may be
+        # staged for a CPU mesh under an ambient TPU plugin (multichip
+        # dryrun) — the Pallas kernel must follow the TARGET backend
+        from strongsort_yolo_tpu.ops.runtime import target_platform
+
+        banded_kernel = reid_banded and target_platform() == "tpu"
 
         needs_reid = reid_cfg is not None and (
             is_strongsort or tracker_cfg.with_reid
@@ -1135,6 +1144,26 @@ class Pipeline:
 # ---------------------------------------------------------------------------
 
 
+class _PendingTick:
+    """Handle for one auto_topk tick whose exact-width validation is
+    deferred (see :meth:`BatchedPipeline.step_async`). Mutable: an
+    overflow replay of an earlier tick re-dispatches this one in place,
+    so a handle held by the caller always materializes to committed
+    (full-width-identical) results."""
+
+    __slots__ = ("pre", "frames", "warps", "det", "out_extras", "bucket",
+                 "validated")
+
+    def __init__(self, pre, frames, warps, det, out_extras, bucket):
+        self.pre = pre
+        self.frames = frames
+        self.warps = warps
+        self.det = det
+        self.out_extras = out_extras
+        self.bucket = bucket
+        self.validated = False
+
+
 class BatchedPipeline:
     """S same-resolution streams stepped together in ONE jitted program.
 
@@ -1162,14 +1191,21 @@ class BatchedPipeline:
         with reid_topk in {8,16,32,...,cap} is compiled lazily; each
         tick dispatches at the current bucket, then the device-reported
         det count validates it: if any stream's count exceeded the
-        bucket, the tick is REPLAYED from the saved pre-tick state at a
-        large-enough bucket — so every committed tick is bit-identical
-        to running the full-width (reid_topk=cap) program. Bucket moves
-        down only after a 30-tick window stays under 3/4 of the next
-        rung (hysteresis; program alternation costs ~100ms through the
-        axon tunnel, so switches must be rare). The count check
-        synchronizes on a tiny (S,) transfer per tick, trading the
-        one-tick async overlap for the adaptive width."""
+        bucket, the tick — and any tick dispatched after it — is
+        REPLAYED from the saved pre-tick state at a large-enough
+        bucket, so every result handed out is bit-identical to running
+        the full-width (reid_topk=cap) program. Bucket moves down only
+        after a 30-tick window stays under 3/4 of the next rung
+        (hysteresis; program alternation costs ~100ms through the axon
+        tunnel, so switches must be rare). Validation is DEFERRED two
+        ticks behind dispatch: each tick's (S,) count starts a
+        ``copy_to_host_async`` at dispatch and is read when the tick
+        is two deep in the pipeline (or at materialize()/sync()),
+        so the host round-trip overlaps device compute instead of
+        serializing every tick (a blocking per-tick device_get cost
+        ~26 ms/tick through the tunnel — round-4 A/B). External reads
+        of ``.states`` must call :meth:`sync` first; ``.states`` is
+        tentative while ticks are pending."""
         self.pipeline = pipeline
         self.num_streams = num_streams
         self.src_hw = tuple(src_hw)
@@ -1201,6 +1237,9 @@ class BatchedPipeline:
             self._steps = self._steps_for(cap)
         else:
             self._steps = pipeline._get_step(self.src_hw)
+        self._pending: list[_PendingTick] = []
+        self._validate_lag = 2
+        self.n_replays = 0  # overflow-replay diagnostics counter
         self.gmcs = [make_gmc(pipeline.gmc.method) for _ in range(num_streams)]
         # device GMC (track/gmc_tpu.py): all S warps come from one
         # vmapped device dispatch off the already-staged frames
@@ -1217,6 +1256,7 @@ class BatchedPipeline:
 
     def reset_stream(self, i: int) -> None:
         """Reinitialize one stream's tracker + GMC state in place."""
+        self.sync()
         fresh = init_track_state(
             self.pipeline.track_slots, feat_dim=self.pipeline.feat_dim
         )
@@ -1273,22 +1313,63 @@ class BatchedPipeline:
             det, handle = self._dispatch(self._steps, frames, warps)
             return handle
 
-        # auto_topk: validated dispatch with exact-replay on overflow
+        # auto_topk: deferred exact-width validation. Dispatch now;
+        # this tick's det count is read when it is _validate_lag deep
+        # in the pending queue (or at materialize()/sync()), by which
+        # time its async D2H copy has landed — the host round-trip
+        # overlaps device compute instead of serializing every tick.
+        while len(self._pending) >= self._validate_lag:
+            self._validate_oldest()
+        rec = self._dispatch_tick(frames, warps)
+        self._pending.append(rec)
+        return rec
+
+    def _dispatch_tick(self, frames, warps) -> "_PendingTick":
         pre = (self.states, self._prev_grays, self._has_prev.copy())
         det, handle = self._dispatch(self._steps, frames, warps)
-        cnt = int(np.max(jax.device_get(det.count)))
+        rec = _PendingTick(pre, frames, warps, det, handle, self._bucket)
+        try:
+            det.count.copy_to_host_async()
+        except AttributeError:  # backend without async D2H
+            pass
+        return rec
+
+    def _validate_oldest(self) -> None:
+        """Commit the oldest pending tick: read its det count; on
+        bucket overflow, roll back and replay it — and every pending
+        tick dispatched after it — at a wide-enough bucket. Every
+        committed tick is bit-identical to the full-width program."""
+        rec = self._pending.pop(0)
+        # count comes from NMS and is bucket-independent: the bucket
+        # only sets how many dets get ReID embeddings
+        cnt = int(np.max(np.asarray(rec.det.count)))
         cap = self._ladder[-1]
-        if cnt > self._bucket and self._bucket < cap:
-            # replay this tick from the pre-tick state at a wide-enough
-            # bucket — committed behavior stays identical to full width
-            self.states, self._prev_grays, has_prev = pre
-            self._has_prev[:] = has_prev
+        if cnt > rec.bucket and rec.bucket < cap:
+            self.n_replays += 1
             need = min(cnt, cap)
             self._bucket = next(b for b in self._ladder if b >= need)
             self._steps = self._steps_for(self._bucket)
             self._cnt_hist.clear()
-            det, handle = self._dispatch(self._steps, frames, warps)
-            cnt = int(np.max(jax.device_get(det.count)))
+            # rewind to before the overflowed tick, then re-dispatch it
+            # and all newer pending ticks in order (their handles are
+            # updated in place)
+            self.states, self._prev_grays, has_prev = rec.pre
+            self._has_prev[:] = has_prev
+            redo = [rec] + self._pending
+            self._pending = []
+            for r in redo:
+                r.pre = (self.states, self._prev_grays,
+                         self._has_prev.copy())
+                r.det, r.out_extras = self._dispatch(
+                    self._steps, r.frames, r.warps
+                )
+                r.bucket = self._bucket
+                try:
+                    r.det.count.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self._pending = redo[1:]
+        rec.validated = True
         self._cnt_hist.append(cnt)
         idx = self._ladder.index(self._bucket)
         lower = self._ladder[idx - 1] if idx > 0 else None
@@ -1300,11 +1381,18 @@ class BatchedPipeline:
             self._bucket = self._ladder[idx - 1]
             self._steps = self._steps_for(self._bucket)
             self._cnt_hist.clear()
-        return handle
+
+    def sync(self) -> None:
+        """Validate (commit) all pending auto_topk ticks. Call before
+        reading ``.states`` externally (checkpointing, per-stream
+        surgery); a no-op without auto_topk."""
+        while self._pending:
+            self._validate_oldest()
 
     def refresh_steps(self) -> None:
         """Re-resolve step programs after the pipeline's params/steps
         changed out-of-band (e.g. calibrate_int8 cleared the cache)."""
+        self.sync()
         if self._auto:
             self._stepsets = {}
             self._steps = self._steps_for(self._bucket)
@@ -1336,7 +1424,13 @@ class BatchedPipeline:
         return det, (out, extras)
 
     def materialize(self, handle) -> list:
-        """Block on a :meth:`step_async` handle -> list of S Results."""
+        """Block on a :meth:`step_async` handle -> list of S Results.
+        An auto_topk handle is first validated (committing any earlier
+        pending ticks), so results are always full-width-identical."""
+        if isinstance(handle, _PendingTick):
+            while not handle.validated:
+                self._validate_oldest()
+            handle = handle.out_extras
         out, extras = handle
         p = self.pipeline
         out = jax.tree.map(np.asarray, out)

@@ -80,6 +80,40 @@ def test_auto_topk_identical_to_full_width():
                 np.testing.assert_array_equal(a.boxes.id, b.boxes.id)
 
 
+def test_auto_topk_deferred_identical_to_full_width():
+    """Fully-pipelined dispatch (step_async with NO per-tick
+    materialize) exercises the deferred validation queue: the burst
+    overflow must roll back and replay every pending tick, and handles
+    held by the caller must still materialize to the fixed-width
+    results (including handles captured BEFORE the replay)."""
+    schedule = [1] * 33 + [9] * 4 + [1] * 3
+    frame_seq = [_frames(t, n) for t, n in enumerate(schedule)]
+
+    pipe = _mk_pipe()
+    bp_fixed = pipe.track_batch_prepare(2, (320, 320))
+    ref = [bp_fixed.step(f) for f in frame_seq]
+
+    pipe2 = _mk_pipe()
+    bp_auto = pipe2.track_batch_prepare(2, (320, 320), auto_topk=True)
+    handles = [bp_auto.step_async(f) for f in frame_seq]
+    assert len(bp_auto._pending) == bp_auto._validate_lag
+    # materialize out of order: newest first forces validation of all
+    # pending ticks; older handles must already be committed
+    got_last = bp_auto.materialize(handles[-1])
+    assert not bp_auto._pending
+    got = [bp_auto.materialize(h) for h in handles[:-1]] + [got_last]
+
+    assert bp_auto.n_replays > 0, "burst never overflowed a bucket"
+    for t, (rs_ref, rs_got) in enumerate(zip(ref, got)):
+        for s, (a, b) in enumerate(zip(rs_ref, rs_got)):
+            assert len(a.boxes) == len(b.boxes), (t, s)
+            np.testing.assert_allclose(
+                a.boxes.xyxy, b.boxes.xyxy, atol=1e-3, err_msg=f"t={t} s={s}"
+            )
+            if a.boxes.id is not None:
+                np.testing.assert_array_equal(a.boxes.id, b.boxes.id)
+
+
 def test_auto_topk_replay_count_is_bounded():
     """Counts at or below the bucket must never replay (no pathological
     double-dispatch under steady load)."""
