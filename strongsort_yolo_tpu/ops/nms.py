@@ -95,15 +95,26 @@ def nms_from_logits(
     agnostic: bool = False,
     class_filter: jnp.ndarray | None = None,
     backend: str = "auto",
-    approx_topk: bool = True,
+    approx_topk: bool = False,
 ) -> Detections:
     """Candidate-select FIRST, decode second — the fused fast path for
     anchor-free heads. Selecting the top-K anchors by best-class score
     before the DFL softmax/expectation means only K rows are decoded
-    and gathered, and the (slow on TPU) full sort over A anchors is
-    replaced by ``jax.lax.approx_max_k`` (exact for the realistic case
-    K >> #candidates-above-threshold; set approx_topk=False for the
-    bitwise-conservative path)."""
+    and gathered.
+
+    approx_topk defaults OFF since round 4. The v5e roofline audit
+    flagged the candidate sort (430 us/step at S=64, 47x its bytes
+    bound) and the A/B (tools/prof/_prof_topk.py + in-step
+    _prof_step_quick) found:
+      - ``jax.lax.top_k`` is ~10x faster than ``approx_max_k`` in the
+        chained-scan harness and PERF-NEUTRAL in the full step
+        (2916 vs 2929 fps/chip S=64 — the sort is overlapped);
+      - ``approx_max_k`` was genuinely approximate on the bench load:
+        per-stream det counts ROSE from [45,38,42,45] to [49,42,43,47]
+        under exact top-k — the default 0.95 recall target silently
+        dropped ~8%% of real above-threshold detections.
+    Exact is parity (ultralytics sorts exactly) and costs nothing;
+    approx_topk=True remains only as a measured-negative record."""
     from strongsort_yolo_tpu.ops.decode import decode_boxes
 
     a, nc = cls_logits.shape
