@@ -1197,13 +1197,14 @@ class BatchedPipeline:
         the full-width (reid_topk=cap) program. Bucket moves down only
         after a 30-tick window stays under 3/4 of the next rung
         (hysteresis; program alternation costs ~100ms through the axon
-        tunnel, so switches must be rare). Validation is DEFERRED two
-        ticks behind dispatch: each tick's (S,) count starts a
-        ``copy_to_host_async`` at dispatch and is read when the tick
-        is two deep in the pipeline (or at materialize()/sync()),
-        so the host round-trip overlaps device compute instead of
-        serializing every tick (a blocking per-tick device_get cost
-        ~26 ms/tick through the tunnel — round-4 A/B). External reads
+        tunnel, so switches must be rare). Validation is DEFERRED and
+        BATCH-DRAINED: (S,) det counts are read only when
+        ``_validate_lag`` ticks have piled up, then the whole queue
+        commits at once (or at materialize()/sync()); any same-tick
+        host read serializes the dispatch queue through the tunnel
+        (round-4 A/Bs: 29.7 / 20.2 / 25.7 ms/tick for per-tick read /
+        copy_to_host_async / worker-thread read, vs 13.1 raw), while
+        one drain per batch amortizes to <1 ms/tick. External reads
         of ``.states`` must call :meth:`sync` first; ``.states`` is
         tentative while ticks are pending."""
         self.pipeline = pipeline
@@ -1231,14 +1232,24 @@ class BatchedPipeline:
                              384, 512) if b < cap}
                 | {cap}
             )
-            self._bucket = cap  # start exact-safe; descend by evidence
+            # start at the LOWEST rung: the first tick's det count
+            # overflows it and the exact replay jumps DIRECTLY to a
+            # wide-enough bucket — one wasted dispatch instead of the
+            # 30-ticks-per-rung hysteresis descent from cap (which
+            # recompiled a program per rung; measured 2026-08-19: the
+            # descent put a ~24s bucket-switch compile inside steady-
+            # state serving). Committed results stay exact either way.
+            self._bucket = self._ladder[0]
             self._cnt_hist = collections.deque(maxlen=30)
             self._stepsets = {}
             self._steps = self._steps_for(cap)
         else:
             self._steps = pipeline._get_step(self.src_hw)
         self._pending: list[_PendingTick] = []
-        self._validate_lag = 2
+        # validation batch depth: each pending tick pins its input
+        # frames on device (~S*6.2MB at 1080p), so cap the queue by a
+        # ~1.6GB frame budget; 8 deep amortizes the drain to <1ms/tick
+        self._validate_lag = max(2, min(8, 256 // max(1, num_streams)))
         self.n_replays = 0  # overflow-replay diagnostics counter
         self.gmcs = [make_gmc(pipeline.gmc.method) for _ in range(num_streams)]
         # device GMC (track/gmc_tpu.py): all S warps come from one
@@ -1313,28 +1324,44 @@ class BatchedPipeline:
             det, handle = self._dispatch(self._steps, frames, warps)
             return handle
 
-        # auto_topk: deferred exact-width validation. Dispatch now;
-        # this tick's det count is read when it is _validate_lag deep
-        # in the pending queue (or at materialize()/sync()), by which
-        # time its async D2H copy has landed — the host round-trip
-        # overlaps device compute instead of serializing every tick.
-        while len(self._pending) >= self._validate_lag:
-            self._validate_oldest()
+        # auto_topk: deferred exact-width validation, BATCH-DRAINED.
+        # Dispatch now; det counts are read only when _validate_lag
+        # ticks have piled up, then the whole queue validates at once
+        # (or at materialize()/sync()). ANY same-tick host read of the
+        # count — np.asarray, copy_to_host_async, even from a worker
+        # thread — serializes the dispatch queue through the axon
+        # relay (measured 29.7 / 20.2 / 25.7 ms/tick vs 13.1 raw at
+        # S=16); one drain per _validate_lag ticks amortizes the sync
+        # the same way the bench's block-every-N loop does.
+        if len(self._pending) >= self._validate_lag:
+            self._drain_pending()
         rec = self._dispatch_tick(frames, warps)
         self._pending.append(rec)
         return rec
 
+    def _drain_pending(self) -> None:
+        """Validate every pending tick. Counts for the whole queue are
+        fetched in ONE jax.device_get — per-array reads each pay a
+        full relay round-trip (measured ~2 ms/read at S=16, which at
+        one read per tick ate the entire deferred-validation win)."""
+        while self._pending:
+            counts = jax.device_get([r.det.count for r in self._pending])
+            for c in counts:
+                n_before = self.n_replays
+                self._validate_oldest(_cnt=int(np.max(c)))
+                if self.n_replays != n_before:
+                    # replay re-dispatched the rest of the queue; the
+                    # prefetched counts are stale — re-fetch
+                    break
+            else:
+                break
+
     def _dispatch_tick(self, frames, warps) -> "_PendingTick":
         pre = (self.states, self._prev_grays, self._has_prev.copy())
         det, handle = self._dispatch(self._steps, frames, warps)
-        rec = _PendingTick(pre, frames, warps, det, handle, self._bucket)
-        try:
-            det.count.copy_to_host_async()
-        except AttributeError:  # backend without async D2H
-            pass
-        return rec
+        return _PendingTick(pre, frames, warps, det, handle, self._bucket)
 
-    def _validate_oldest(self) -> None:
+    def _validate_oldest(self, _cnt: int | None = None) -> None:
         """Commit the oldest pending tick: read its det count; on
         bucket overflow, roll back and replay it — and every pending
         tick dispatched after it — at a wide-enough bucket. Every
@@ -1342,7 +1369,8 @@ class BatchedPipeline:
         rec = self._pending.pop(0)
         # count comes from NMS and is bucket-independent: the bucket
         # only sets how many dets get ReID embeddings
-        cnt = int(np.max(np.asarray(rec.det.count)))
+        cnt = (int(np.max(np.asarray(rec.det.count)))
+               if _cnt is None else _cnt)
         cap = self._ladder[-1]
         if cnt > rec.bucket and rec.bucket < cap:
             self.n_replays += 1
@@ -1364,10 +1392,6 @@ class BatchedPipeline:
                     self._steps, r.frames, r.warps
                 )
                 r.bucket = self._bucket
-                try:
-                    r.det.count.copy_to_host_async()
-                except AttributeError:
-                    pass
             self._pending = redo[1:]
         rec.validated = True
         self._cnt_hist.append(cnt)
@@ -1386,8 +1410,7 @@ class BatchedPipeline:
         """Validate (commit) all pending auto_topk ticks. Call before
         reading ``.states`` externally (checkpointing, per-stream
         surgery); a no-op without auto_topk."""
-        while self._pending:
-            self._validate_oldest()
+        self._drain_pending()
 
     def refresh_steps(self) -> None:
         """Re-resolve step programs after the pipeline's params/steps
@@ -1428,8 +1451,8 @@ class BatchedPipeline:
         An auto_topk handle is first validated (committing any earlier
         pending ticks), so results are always full-width-identical."""
         if isinstance(handle, _PendingTick):
-            while not handle.validated:
-                self._validate_oldest()
+            if not handle.validated:
+                self._drain_pending()
             handle = handle.out_extras
         out, extras = handle
         p = self.pipeline

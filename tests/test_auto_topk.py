@@ -96,7 +96,7 @@ def test_auto_topk_deferred_identical_to_full_width():
     pipe2 = _mk_pipe()
     bp_auto = pipe2.track_batch_prepare(2, (320, 320), auto_topk=True)
     handles = [bp_auto.step_async(f) for f in frame_seq]
-    assert len(bp_auto._pending) == bp_auto._validate_lag
+    assert 0 < len(bp_auto._pending) <= bp_auto._validate_lag
     # materialize out of order: newest first forces validation of all
     # pending ticks; older handles must already be committed
     got_last = bp_auto.materialize(handles[-1])
@@ -129,4 +129,6 @@ def test_auto_topk_replay_count_is_bounded():
     bp._dispatch = counting
     for t in range(6):
         bp.step(_frames(t, 2))
-    assert calls["n"] == 6, calls  # bucket starts at cap: never replays
+    # bucket starts at the lowest rung (8); 2 dets fit, so steady load
+    # never replays
+    assert calls["n"] == 6, calls
