@@ -526,16 +526,19 @@ def main() -> None:
             jax.block_until_ready(bp_s.states)
         fps = S * n / (time.perf_counter() - t0)
         tag = " auto_topk" if auto else ""
-        log(f"aggregate {S}-stream strongsort{tag}: {fps:.1f} fps/chip")
-        return fps
+        nrep = bp_s.n_replays if auto else None
+        rep = f" (n_replays={nrep})" if auto else ""
+        log(f"aggregate {S}-stream strongsort{tag}: {fps:.1f} fps/chip{rep}")
+        return (fps, nrep) if auto else fps
 
     fps_ss_b32 = run_ss_batched(32)
     fps_ss_b64s = run_ss_batched(64, n=18)
     # adaptive embed width (auto_topk): bit-identical behavior to
     # topk=128 (exact replay on overflow), cost tracks the live det
-    # count — the production serving default candidate
-    fps_ss_auto16 = run_ss_batched(16, auto=True)
-    fps_ss_auto32 = run_ss_batched(32, auto=True)
+    # count — the production serving default
+    fps_ss_auto16, rep16 = run_ss_batched(16, auto=True)
+    fps_ss_auto32, rep32 = run_ss_batched(32, auto=True)
+    fps_ss_auto64, rep64 = run_ss_batched(64, n=18, auto=True)
 
     # ---- BASELINE.json config matrix (VERDICT r2 #4): the reference's
     # default model is yolo11n-pose (yolo_multi_model.py:17), and the
@@ -624,6 +627,13 @@ def main() -> None:
             "aggregate_fps_s32_strongsort": round(fps_ss_b32, 2),
             "aggregate_fps_s64_strongsort": round(fps_ss_b64s, 2),
             "aggregate_fps_s16_strongsort_reid64": round(fps_ss_b64, 2),
+            "aggregate_fps_s16_strongsort_auto": round(fps_ss_auto16, 2),
+            "aggregate_fps_s32_strongsort_auto": round(fps_ss_auto32, 2),
+            "aggregate_fps_s64_strongsort_auto": round(fps_ss_auto64, 2),
+            # exact-replay cost diagnostic on the bench load (steady
+            # ~45-det scenes: replays should be the warmup overflow
+            # jumps only)
+            "strongsort_auto_n_replays_s16_s32_s64": [rep16, rep32, rep64],
             "aggregate_fps_s8": round(fps8, 2),
             "aggregate_fps_s16": round(fps16, 2),
             "aggregate_fps_s32": round(fps32, 2),

@@ -1242,7 +1242,12 @@ class BatchedPipeline:
             self._bucket = self._ladder[0]
             self._cnt_hist = collections.deque(maxlen=30)
             self._stepsets = {}
-            self._steps = self._steps_for(cap)
+            # dispatch width must match the recorded bucket from the
+            # first tick: dispatching cap-width while _bucket said
+            # rung 0 ran full-width forever under sparse load and
+            # needlessly replayed already-correct ticks on the first
+            # overflow (advisor r4)
+            self._steps = self._steps_for(self._bucket)
         else:
             self._steps = pipeline._get_step(self.src_hw)
         self._pending: list[_PendingTick] = []
@@ -1356,6 +1361,27 @@ class BatchedPipeline:
             else:
                 break
 
+    def _drain_until(self, handle: "_PendingTick") -> None:
+        """Validate pending ticks up to and INCLUDING ``handle`` only.
+        Draining the whole queue here would block on the det counts of
+        ticks dispatched after the handle — in app.py's overlap loop
+        (step_async tick t, materialize tick t-1) that is a same-tick
+        host sync, the exact serialization the deferred design exists
+        to avoid (advisor r4)."""
+        while not handle.validated:
+            try:
+                k = self._pending.index(handle)
+            except ValueError:  # committed by a replay pass
+                break
+            counts = jax.device_get(
+                [r.det.count for r in self._pending[: k + 1]]
+            )
+            for c in counts:
+                n_before = self.n_replays
+                self._validate_oldest(_cnt=int(np.max(c)))
+                if self.n_replays != n_before:
+                    break  # queue re-dispatched; prefetched counts stale
+
     def _dispatch_tick(self, frames, warps) -> "_PendingTick":
         pre = (self.states, self._prev_grays, self._has_prev.copy())
         det, handle = self._dispatch(self._steps, frames, warps)
@@ -1452,7 +1478,7 @@ class BatchedPipeline:
         pending ticks), so results are always full-width-identical."""
         if isinstance(handle, _PendingTick):
             if not handle.validated:
-                self._drain_pending()
+                self._drain_until(handle)
             handle = handle.out_extras
         out, extras = handle
         p = self.pipeline

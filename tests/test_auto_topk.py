@@ -46,10 +46,13 @@ def _mk_pipe():
 
 
 def test_auto_topk_identical_to_full_width():
-    # load profile: sparse long enough to trigger the hysteresis
-    # down-switch (30-tick window), then a dense burst that overflows
-    # the dropped bucket and must trigger the exact replay
-    schedule = [1] * 33 + [9] * 4 + [1] * 3
+    # load profile: sparse (bucket stays at the lowest rung), a dense
+    # burst that overflows it and must trigger the exact replay, then
+    # sparse long enough (30-tick hysteresis window) that the bucket
+    # must descend again — asserting BOTH ladder transitions, not just
+    # the label (advisor r4: `8 in buckets` alone is vacuous since
+    # _bucket now starts at 8)
+    schedule = [1] * 8 + [9] * 4 + [1] * 33
     frame_seq = [_frames(t, n) for t, n in enumerate(schedule)]
 
     pipe = _mk_pipe()
@@ -65,10 +68,15 @@ def test_auto_topk_identical_to_full_width():
         got.append(bp_auto.step(f))
         buckets.append(bp_auto._bucket)
 
-    # the ladder really moved: dropped to 8 in the sparse phase and
-    # came back up for the dense burst
-    assert 8 in buckets, buckets
-    assert buckets[34] == 16, buckets  # burst forced the wide bucket
+    # the ladder really moved BOTH ways: the burst forced the wide
+    # bucket (via the exact replay), and the 30-tick sparse window
+    # after it brought the ladder back down
+    assert buckets[7] == 8, buckets  # sparse phase stayed narrow
+    assert buckets[9] == 16, buckets  # burst forced the wide bucket
+    assert buckets[-1] == 8, buckets  # hysteresis down-switch fired
+    assert bp_auto.n_replays > 0  # the up-move was an exact replay
+    # and the narrow program really is what dispatches at the end
+    assert bp_auto._steps is bp_auto._stepsets[8]
 
     for t, (rs_ref, rs_got) in enumerate(zip(ref, got)):
         for s, (a, b) in enumerate(zip(rs_ref, rs_got)):
