@@ -356,7 +356,8 @@ class Pipeline:
         mask[list(self.det_cfg.classes)] = True
         return jnp.asarray(mask)
 
-    def _make_step(self, src_hw: tuple[int, int], reid_topk=None):
+    def _make_step(self, src_hw: tuple[int, int], reid_topk=None,
+                   reid_pack_slots=None):
         cfg = self.model_cfg
         det_cfg = self.det_cfg
         size = det_cfg.imgsz
@@ -655,10 +656,117 @@ class Pipeline:
                 )
             return feats
 
+        # packed cross-stream embed (VERDICT r4 #1): the fixed-width
+        # form crops+embeds B*reid_topk slots regardless of load — at
+        # S=64/topk=128 that is 8192 HBM-bound OSNet crop slots for
+        # ~2900 real dets, which made the StrongSORT aggregate SHRINK
+        # past S=16 (954→883→871 fps/chip). The packed form gathers the
+        # REAL dets of all streams into ONE dense G-slot crop batch
+        # (each stream's count padded to a PACK_G multiple so every
+        # kernel block stays single-frame), embeds once, and scatters
+        # features back per stream. G is a static total-count bucket;
+        # BatchedPipeline's auto_topk ladder picks it with the same
+        # exact replay-on-overflow guarantee as the width ladder.
+        PACK_G = 8  # slot-group quantum == crop kernel g_crops
+
+        def embed_batch_packed(frames_u8, dets, n_slots):
+            """frames (S, H, W, 3) uint8; dets fields (S, max_det, ...);
+            n_slots: static total crop-slot budget G (PACK_G multiple).
+            -> (S, max_det, feat); rows beyond each stream's real count
+            are zero, EXACTLY like embed_batch's invalid-row masking.
+            Slot overflow (padded total > G) leaves the overflowed
+            streams' tail rows zero — the caller (BatchedPipeline)
+            detects it from det counts and replays at a bigger G, so
+            committed results never see a truncated embed."""
+            from strongsort_yolo_tpu.models.osnet import osnet_apply
+            from strongsort_yolo_tpu.ops.pack import space_to_depth
+            from strongsort_yolo_tpu.ops.pallas.crop_kernel import (
+                banded_crop_packed,
+            )
+
+            S = frames_u8.shape[0]
+            G = int(n_slots)
+            cap = min(reid_topk, t_max)
+            i32 = jnp.int32
+            valid = dets.valid[:, :cap]  # (S, cap) — prefix mask
+            n_s = jnp.sum(valid, axis=1).astype(i32)  # (S,)
+            padded = ((n_s + PACK_G - 1) // PACK_G) * PACK_G
+            off = jnp.concatenate(
+                [jnp.zeros(1, i32), jnp.cumsum(padded)[:-1]]
+            )  # (S,) start slot per stream
+            p = jnp.arange(G, dtype=i32)
+            # slot -> stream: count of offsets <= p, minus 1 (streams
+            # with zero slots share an offset with their successor and
+            # correctly own nothing)
+            slot_stream = jnp.sum(
+                (p[:, None] >= off[None, :]).astype(i32), axis=1
+            ) - 1
+            total = jnp.sum(padded)
+            in_rng = p < total
+            slot_stream = jnp.where(
+                in_rng, jnp.clip(slot_stream, 0, S - 1), 0
+            )
+            # per-slot stream fields via a masked one-hot reduce (tiny
+            # (G, S) mask; avoids (G,)-indexed gathers, which scalarize
+            # inside big fused programs — NOTES.md round-2 lesson)
+            oh_s = slot_stream[:, None] == jnp.arange(S, dtype=i32)[None, :]
+            off_sel = jnp.sum(jnp.where(oh_s, off[None, :], 0), axis=1)
+            n_sel = jnp.sum(jnp.where(oh_s, n_s[None, :], 0), axis=1)
+            slot_row = jnp.where(in_rng, p - off_sel, 0)
+            slot_real = in_rng & (slot_row < n_sel)
+
+            # pack boxes by SCATTER (unique targets: one slot per
+            # valid det; invalid dets land on the dropped G row)
+            boxes_flat = dets.boxes[:, :cap].reshape(S * cap, 4).astype(
+                jnp.float32
+            )
+            r = jnp.arange(cap, dtype=i32)
+            tgt = jnp.where(valid, off[:, None] + r[None, :], G)
+            boxes_g = (
+                jnp.tile(jnp.asarray([[0.0, 0.0, 16.0, 32.0]]), (G + 1, 1))
+                .at[tgt.reshape(-1)]
+                .set(boxes_flat, mode="drop")[:G]
+            )
+
+            imgs = frames_u8.astype(compute_dtype) / 255.0
+            crops = banded_crop_packed(
+                imgs, boxes_g, slot_stream, reid_cfg.crop_hw,
+                g_crops=PACK_G,
+                interpret=target_platform() != "tpu",
+            )  # (G, ch, cw, 3)
+            if reid_packed:
+                crops = space_to_depth(crops)
+            feats_g = osnet_apply(
+                reid_params,
+                crops,
+                compute_dtype=compute_dtype,
+                packed_input=reid_packed,
+                channel_order="bgr",
+            )  # (G, feat)
+            feats_g = jnp.where(slot_real[:, None], feats_g, 0.0)
+            # scatter features back to (S, max_det, feat); dummy slots
+            # target the dropped trailing row
+            fd = feats_g.shape[1]
+            flat_tgt = jnp.where(
+                slot_real, slot_stream * det_cfg.max_det + slot_row,
+                S * det_cfg.max_det,
+            )
+            feats = (
+                jnp.zeros((S * det_cfg.max_det + 1, fd), feats_g.dtype)
+                .at[flat_tgt]
+                .set(feats_g, mode="drop")[: S * det_cfg.max_det]
+                .reshape(S, det_cfg.max_det, fd)
+            )
+            return feats
+
         def feats_for(frames_u8, dets):
             """(B, max_det, feat) ReID features, or None when the
             tracker runs motion-only."""
-            return embed_batch(frames_u8, dets) if needs_reid else None
+            if not needs_reid:
+                return None
+            if reid_pack_slots is not None:
+                return embed_batch_packed(frames_u8, dets, reid_pack_slots)
+            return embed_batch(frames_u8, dets)
 
         def _stack_det(det):
             return jax.tree.map(lambda a: a[None], det)
@@ -910,10 +1018,12 @@ class Pipeline:
             track_step_flow, track_chunk_flow, batch_step_flow,
         )
 
-    def _get_step(self, src_hw, reid_topk=None):
-        key = (src_hw, reid_topk)
+    def _get_step(self, src_hw, reid_topk=None, reid_pack_slots=None):
+        key = (src_hw, reid_topk, reid_pack_slots)
         if key not in self._steps:
-            self._steps[key] = self._make_step(src_hw, reid_topk=reid_topk)
+            self._steps[key] = self._make_step(
+                src_hw, reid_topk=reid_topk, reid_pack_slots=reid_pack_slots
+            )
         return self._steps[key]
 
     # -- host-facing API -------------------------------------------------
@@ -1223,15 +1333,38 @@ class BatchedPipeline:
                 pipeline.reid_params = jax.device_put(pipeline.reid_params, rep)
             self._stream_sharding = stream_sh
         self._auto = bool(auto_topk) and pipeline.reid_params is not None
+        # packed cross-stream embed (VERDICT r4 #1): one dense G-slot
+        # crop batch shared by all streams, G a TOTAL-count bucket —
+        # the embed cost tracks the real det load instead of S*width
+        # slots. Single-chip only: under a dp mesh the cross-stream
+        # pack would turn the collective-free batch into an all-gather,
+        # so meshed auto keeps the per-stream WIDTH ladder.
+        self._pack = self._auto and mesh is None
+        self._pack_g = 8  # slot quantum == crop kernel g_crops
         if self._auto:
             import collections
 
-            cap = min(pipeline.reid_topk, pipeline.det_cfg.max_det)
-            self._ladder = sorted(
-                {b for b in (8, 16, 24, 32, 48, 64, 96, 128, 192, 256,
-                             384, 512) if b < cap}
-                | {cap}
+            self._row_cap = cap = min(
+                pipeline.reid_topk,
+                pipeline.tracker_max_dets,
+                pipeline.det_cfg.max_det,
             )
+            if self._pack:
+                g = self._pack_g
+                base = num_streams * g
+                cap_total = num_streams * (-(-cap // g) * g)
+                self._ladder = sorted(
+                    {base * k for k in (1, 2, 3, 4, 6, 8, 12, 16, 24,
+                                        32, 48, 64, 96, 128)
+                     if base * k < cap_total}
+                    | {cap_total}
+                )
+            else:
+                self._ladder = sorted(
+                    {b for b in (8, 16, 24, 32, 48, 64, 96, 128, 192,
+                                 256, 384, 512) if b < cap}
+                    | {cap}
+                )
             # start at the LOWEST rung: the first tick's det count
             # overflows it and the exact replay jumps DIRECTLY to a
             # wide-enough bucket — one wasted dispatch instead of the
@@ -1353,7 +1486,7 @@ class BatchedPipeline:
             counts = jax.device_get([r.det.count for r in self._pending])
             for c in counts:
                 n_before = self.n_replays
-                self._validate_oldest(_cnt=int(np.max(c)))
+                self._validate_oldest(_counts=c)
                 if self.n_replays != n_before:
                     # replay re-dispatched the rest of the queue; the
                     # prefetched counts are stale — re-fetch
@@ -1378,7 +1511,7 @@ class BatchedPipeline:
             )
             for c in counts:
                 n_before = self.n_replays
-                self._validate_oldest(_cnt=int(np.max(c)))
+                self._validate_oldest(_counts=c)
                 if self.n_replays != n_before:
                     break  # queue re-dispatched; prefetched counts stale
 
@@ -1387,21 +1520,43 @@ class BatchedPipeline:
         det, handle = self._dispatch(self._steps, frames, warps)
         return _PendingTick(pre, frames, warps, det, handle, self._bucket)
 
-    def _validate_oldest(self, _cnt: int | None = None) -> None:
-        """Commit the oldest pending tick: read its det count; on
+    def _demand(self, counts) -> tuple[int, int]:
+        """Per-stream det counts -> (needed, guard) in BUCKET units.
+        ``needed`` is the exact demand the tick's bucket must cover;
+        ``guard`` is the demand with headroom, used by the hysteresis
+        down-switch. Packed mode: needed = sum of per-stream counts
+        padded to the slot quantum; guard adds ONE det per stream (the
+        lower rung is safe only if every stream could gain a det
+        without overflowing). Width mode: both are the max count (the
+        lower-rung margin lives in the down-switch rule instead)."""
+        c = np.minimum(np.asarray(counts, np.int64), self._row_cap)
+        if self._pack:
+            g = self._pack_g
+            need = int(np.sum(-(-c // g) * g))
+            guard = int(np.sum(
+                -(-np.minimum(c + 1, self._row_cap) // g) * g
+            ))
+            return need, guard
+        m = int(np.max(c)) if np.size(c) else 0
+        return m, m
+
+    def _validate_oldest(self, _counts=None) -> None:
+        """Commit the oldest pending tick: read its det counts; on
         bucket overflow, roll back and replay it — and every pending
         tick dispatched after it — at a wide-enough bucket. Every
         committed tick is bit-identical to the full-width program."""
         rec = self._pending.pop(0)
-        # count comes from NMS and is bucket-independent: the bucket
+        # counts come from NMS and are bucket-independent: the bucket
         # only sets how many dets get ReID embeddings
-        cnt = (int(np.max(np.asarray(rec.det.count)))
-               if _cnt is None else _cnt)
+        counts = (np.asarray(rec.det.count)
+                  if _counts is None else np.asarray(_counts))
+        need, guard = self._demand(counts)
         cap = self._ladder[-1]
-        if cnt > rec.bucket and rec.bucket < cap:
+        if need > rec.bucket and rec.bucket < cap:
             self.n_replays += 1
-            need = min(cnt, cap)
-            self._bucket = next(b for b in self._ladder if b >= need)
+            self._bucket = next(
+                b for b in self._ladder if b >= min(need, cap)
+            )
             self._steps = self._steps_for(self._bucket)
             self._cnt_hist.clear()
             # rewind to before the overflowed tick, then re-dispatch it
@@ -1420,13 +1575,19 @@ class BatchedPipeline:
                 r.bucket = self._bucket
             self._pending = redo[1:]
         rec.validated = True
-        self._cnt_hist.append(cnt)
+        self._cnt_hist.append(guard)
         idx = self._ladder.index(self._bucket)
         lower = self._ladder[idx - 1] if idx > 0 else None
+        # down-switch: packed guards carry their own +1-det-per-stream
+        # headroom (slot quantization makes a fractional margin on the
+        # rung value meaningless — the minimum nonzero demand IS the
+        # lowest rung); width mode keeps the 12.5%-of-rung margin
+        down_at = (lower if self._pack
+                   else lower - max(1, lower // 8)) if lower else None
         if (
             lower is not None
             and len(self._cnt_hist) == self._cnt_hist.maxlen
-            and max(self._cnt_hist) <= lower - max(1, lower // 8)
+            and max(self._cnt_hist) <= down_at
         ):
             self._bucket = self._ladder[idx - 1]
             self._steps = self._steps_for(self._bucket)
@@ -1450,9 +1611,14 @@ class BatchedPipeline:
 
     def _steps_for(self, bucket: int):
         if bucket not in self._stepsets:
-            self._stepsets[bucket] = self.pipeline._get_step(
-                self.src_hw, reid_topk=bucket
-            )
+            if self._pack:
+                self._stepsets[bucket] = self.pipeline._get_step(
+                    self.src_hw, reid_pack_slots=bucket
+                )
+            else:
+                self._stepsets[bucket] = self.pipeline._get_step(
+                    self.src_hw, reid_topk=bucket
+                )
         return self._stepsets[bucket]
 
     def _dispatch(self, steps, frames, warps):

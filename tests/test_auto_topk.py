@@ -1,8 +1,15 @@
-"""auto_topk: the adaptive ReID embed width must be BEHAVIORALLY
+"""auto_topk: the adaptive ReID embed budget must be BEHAVIORALLY
 INVISIBLE — every committed tick identical to the fixed full-width
 program (VERDICT r3 ask #1: cost tracks real dets with an
 identical-behavior guarantee; overflow ticks replay at a wider bucket
-from the saved pre-tick state)."""
+from the saved pre-tick state).
+
+Since round 5 the single-chip auto mode is PACKED (VERDICT r4 #1):
+the bucket is a TOTAL crop-slot budget shared by all streams — real
+dets are gathered into one dense G-slot crop batch (per-stream counts
+padded to the slot quantum g=8), embedded once, and scattered back.
+The ladder/replay/hysteresis machinery is the same; only the bucket
+unit changed (slots, not per-stream width)."""
 
 import numpy as np
 import pytest
@@ -61,7 +68,9 @@ def test_auto_topk_identical_to_full_width():
 
     pipe2 = _mk_pipe()
     bp_auto = pipe2.track_batch_prepare(2, (320, 320), auto_topk=True)
-    assert bp_auto._ladder == [8, 16]
+    # packed total-slot ladder: base = S*g = 16, cap_total = S*16 = 32
+    assert bp_auto._pack
+    assert bp_auto._ladder == [16, 32]
     buckets = []
     got = []
     for f in frame_seq:
@@ -71,12 +80,12 @@ def test_auto_topk_identical_to_full_width():
     # the ladder really moved BOTH ways: the burst forced the wide
     # bucket (via the exact replay), and the 30-tick sparse window
     # after it brought the ladder back down
-    assert buckets[7] == 8, buckets  # sparse phase stayed narrow
-    assert buckets[9] == 16, buckets  # burst forced the wide bucket
-    assert buckets[-1] == 8, buckets  # hysteresis down-switch fired
+    assert buckets[7] == 16, buckets  # sparse phase stayed narrow
+    assert buckets[9] == 32, buckets  # burst forced the wide bucket
+    assert buckets[-1] == 16, buckets  # hysteresis down-switch fired
     assert bp_auto.n_replays > 0  # the up-move was an exact replay
     # and the narrow program really is what dispatches at the end
-    assert bp_auto._steps is bp_auto._stepsets[8]
+    assert bp_auto._steps is bp_auto._stepsets[16]
 
     for t, (rs_ref, rs_got) in enumerate(zip(ref, got)):
         for s, (a, b) in enumerate(zip(rs_ref, rs_got)):

@@ -168,3 +168,46 @@ def test_pipeline_banded_matches_legacy_on_small_frames():
         np.testing.assert_allclose(xa, xb, atol=1e-3)
         if ia is not None or ib is not None:
             np.testing.assert_array_equal(ia, ib)
+
+
+def test_packed_cross_stream_matches_per_frame_kernel():
+    """banded_crop_packed (one flat kernel over G slots spanning many
+    frames, per-block frame select via scalar prefetch) must reproduce
+    the per-frame kernel exactly for every REAL slot — ragged counts,
+    per-stream g-padding, and full-dummy tail blocks included."""
+    from strongsort_yolo_tpu.ops.pallas.crop_kernel import (
+        banded_crop_packed,
+    )
+
+    rng = np.random.default_rng(7)
+    S, H, W, g = 3, 240, 320, 8
+    imgs = jnp.asarray(rng.uniform(0, 1, (S, H, W, 3)), jnp.float32)
+    per = [_boxes(rng, n, W, H) for n in (3, 9, 1)]  # ragged, one >g
+
+    slots, streams, offs = [], [], []
+    for s, b in enumerate(per):
+        offs.append(sum(len(x) for x in slots))
+        pad = -(-len(b) // g) * g
+        slots.append(np.concatenate(
+            [b, np.tile([[0, 0, 16, 32]], (pad - len(b), 1))]
+        ).astype(np.float32))
+        streams += [s] * pad
+    packed = np.concatenate(slots)
+    G = len(packed) + g  # one full dummy tail block
+    packed = np.concatenate(
+        [packed, np.tile([[0, 0, 16, 32]], (G - len(packed), 1))]
+    ).astype(np.float32)
+    streams = np.asarray(streams + [0] * g, np.int32)
+
+    out = banded_crop_packed(
+        imgs, jnp.asarray(packed), jnp.asarray(streams), (128, 64),
+        interpret=True,
+    )
+    assert out.shape == (G, 128, 64, 3)
+    for s, b in enumerate(per):
+        ref = banded_crop(
+            imgs[s][None], jnp.asarray(b)[None], (128, 64), interpret=True
+        )[0]
+        got = out[offs[s]:offs[s] + len(b)]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
