@@ -96,6 +96,8 @@ def nms_from_logits(
     class_filter: jnp.ndarray | None = None,
     backend: str = "auto",
     approx_topk: bool = False,
+    feat_dims=None,       # [(h, w)] per FPN level — enables arithmetic
+    level_strides=None,   # per-level strides     — anchor/stride compute
 ) -> Detections:
     """Candidate-select FIRST, decode second — the fused fast path for
     anchor-free heads. Selecting the top-K anchors by best-class score
@@ -135,12 +137,25 @@ def nms_from_logits(
     else:
         top_logit, top_idx = jax.lax.top_k(best_logit.astype(jnp.float32), k)
     top_conf = jax.nn.sigmoid(top_logit)
-    top_cls = jnp.argmax(cls_logits[top_idx], axis=-1).astype(jnp.int32)
+    # argmax over ALL anchors fuses into the same (A, nc) HBM pass as
+    # the max above; the (K,) int gather it leaves is 10x less data
+    # than gathering the (K, nc) logit rows and re-argmaxing (the v5e
+    # roofline audit put that row gather at 374 us/step, 4x its bound)
+    cls_all = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+    top_cls = cls_all[top_idx]
     top_valid = top_conf >= conf_thres
 
+    if feat_dims is not None:
+        from strongsort_yolo_tpu.ops.decode import anchors_from_indices
+
+        top_anchors, top_strides = anchors_from_indices(
+            top_idx, feat_dims, level_strides
+        )
+    else:
+        top_anchors, top_strides = anchors[top_idx], strides[top_idx]
     top_boxes = decode_boxes(
         box_logits[top_idx].astype(jnp.float32),
-        anchors[top_idx], strides[top_idx], reg_max,
+        top_anchors, top_strides, reg_max,
     )
     return _nms_on_candidates(
         top_boxes, top_conf, top_cls, top_valid,

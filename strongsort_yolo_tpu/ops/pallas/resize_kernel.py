@@ -89,6 +89,96 @@ def _kernel(x_ref, s_ref, o_ref):
                            ).astype(o_ref.dtype)
 
 
+def _kernel_contig(x_ref, s_ref, o_ref, *, off_y, sy, rows_out, n_q,
+                   in_block):
+    """Round-5 revisit (the fix the round-3 postmortem prescribes):
+    read the WHOLE frame contiguously, select rows IN-VMEM, then the
+    banded column-selection dots. x_ref: (1, H, W*3) u8 — one full
+    frame, contiguous HBM DMA; s_ref: (in_block, 384) selection
+    constant; o_ref: (1, rows_out, new_w*3)."""
+    # static per-output-row reads off the VMEM ref (NOT an index-mapped
+    # strided HBM block — that was the 5.5 GB/s failure); each is a
+    # (W*3,) u8 lane vector at a static sublane offset
+    rows = [x_ref[0, off_y + sy * r] for r in range(rows_out)]
+    v = jnp.stack(rows)
+    # cast AFTER the sy-fold row cut (3x less data); no direct u8->bf16
+    v = v.astype(jnp.int32).astype(o_ref.dtype)
+    for q in range(n_q):
+        o_ref[0, :, q * _OUT_BLOCK:(q + 1) * _OUT_BLOCK] = jax.lax.dot(
+            v[:, q * in_block:(q + 1) * in_block],
+            s_ref[:],
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("new_h", "new_w", "dtype",
+                                             "interpret"))
+def decimate_resize_contig(
+    frames_u8: jnp.ndarray,  # (B, src_h, src_w, 3) uint8
+    new_h: int,
+    new_w: int,
+    *,
+    dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Contiguous-read variant of :func:`decimate_resize` -> (B, new_h,
+    new_w, 3) ``dtype``, raw value range, bit-exact vs the dense matmul
+    resize for pure-decimation geometries (same single-tap pixels).
+
+    Differences vs the measured-negative round-3 kernel: the input
+    block is one FULL frame (one contiguous multi-MB DMA per grid step
+    instead of 1152-byte strided runs at 5.5 GB/s), row decimation is
+    static sublane reads off the VMEM ref, and the column selection
+    stays the banded one-hot MXU dot. HBM cost = read the u8 frame once
+    + write the (new_h, new_w, 3) output once — the letterbox
+    mega-fusion's roofline, without the dense (dst, src) contraction
+    FLOPs (VERDICT r4 #2)."""
+    b, src_h, src_w, _c = frames_u8.shape
+    plan = decimation_plan(src_h, src_w, new_h, new_w)
+    assert plan is not None, (src_h, src_w, new_h, new_w)
+    off_y, sy, off_x, sx = plan
+
+    x = frames_u8.reshape(b, src_h, src_w * 3)
+    sel = _select_matrix(sx, off_x, dtype)
+    in_block = _OUT_BLOCK * sx
+    n_q = (new_w * 3) // _OUT_BLOCK
+    kernel = functools.partial(
+        _kernel_contig, off_y=off_y, sy=sy, rows_out=new_h, n_q=n_q,
+        in_block=in_block,
+    )
+    vmem = (2 * src_h * src_w * 3        # in (u8, double-buffered)
+            + 4 * new_h * src_w * 3 * 2  # row-cut value + dot operands
+            + 4 * new_h * new_w * 3 * 2  # out
+            + 2 ** 22)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, src_h, src_w * 3),
+                lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (in_block, _OUT_BLOCK),
+                lambda bi: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, new_h, new_w * 3),
+            lambda bi: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, new_h, new_w * 3), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(vmem, 32 * 2**20), 120 * 2**20),
+        ),
+        interpret=interpret,
+    )(x, sel)
+    return out.reshape(b, new_h, new_w, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("new_h", "new_w", "dtype",
                                              "interpret"))
 def decimate_resize(

@@ -526,6 +526,10 @@ class Pipeline:
                     max_det=det_cfg.max_det,
                     agnostic=det_cfg.agnostic_nms,
                     class_filter=class_filter,
+                    # arithmetic per-candidate anchors/strides instead
+                    # of constant-table gathers (ops/decode.py)
+                    feat_dims=feat_hw((size, size), cfg.strides),
+                    level_strides=cfg.strides,
                 )
             boxes_orig = scale_boxes(det.boxes, gain, pad, orig_hw)
             det = det._replace(boxes=jnp.where(det.valid[:, None], boxes_orig, 0.0))
@@ -744,19 +748,27 @@ class Pipeline:
                 channel_order="bgr",
             )  # (G, feat)
             feats_g = jnp.where(slot_real[:, None], feats_g, 0.0)
-            # scatter features back to (S, max_det, feat); dummy slots
-            # target the dropped trailing row
+            # scatter features back to (S, cap, feat); dummy slots
+            # target the dropped trailing row. Size the scatter buffer
+            # by cap, NOT max_det: a dynamic scatter into an
+            # (S*max_det, fd) buffer forces XLA to materialize the
+            # full (S, 1000, 512) zeros every tick (~28 MB at S=16) —
+            # the pad below is static, so the downstream [:t_max]
+            # slice folds it away
             fd = feats_g.shape[1]
             flat_tgt = jnp.where(
-                slot_real, slot_stream * det_cfg.max_det + slot_row,
-                S * det_cfg.max_det,
+                slot_real, slot_stream * cap + slot_row, S * cap
             )
             feats = (
-                jnp.zeros((S * det_cfg.max_det + 1, fd), feats_g.dtype)
+                jnp.zeros((S * cap + 1, fd), feats_g.dtype)
                 .at[flat_tgt]
-                .set(feats_g, mode="drop")[: S * det_cfg.max_det]
-                .reshape(S, det_cfg.max_det, fd)
+                .set(feats_g, mode="drop")[: S * cap]
+                .reshape(S, cap, fd)
             )
+            if cap < det_cfg.max_det:
+                feats = jnp.pad(
+                    feats, ((0, 0), (0, det_cfg.max_det - cap), (0, 0))
+                )
             return feats
 
         def feats_for(frames_u8, dets):

@@ -120,3 +120,25 @@ def test_decimate_resize_kernel_bitexact():
     # non-decimation geometries are rejected (fallback stays matmul)
     assert decimation_plan(720, 1280, 360, 640) is None  # 2x: 2-tap
     assert decimation_plan(1080, 1920, 368, 640) is None
+
+
+def test_decimate_resize_contig_bitexact():
+    """Round-5 contiguous-read variant (full-frame DMA + in-VMEM row
+    selection — the fix the round-3 kernel's postmortem prescribed)
+    must be bit-exact vs the dense matmul resize too."""
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.ops.letterbox import resize_bilinear_matmul
+    from strongsort_yolo_tpu.ops.pallas.resize_kernel import (
+        decimate_resize_contig,
+    )
+
+    rng = np.random.default_rng(5)
+    f = rng.integers(0, 255, (2, 1080, 1920, 3), dtype=np.uint8)
+    a = np.asarray(
+        decimate_resize_contig(jnp.asarray(f), 360, 640, interpret=True)
+    ).astype(np.float32)
+    b = np.asarray(
+        resize_bilinear_matmul(jnp.asarray(f).astype(jnp.bfloat16), 360, 640)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(a, b)

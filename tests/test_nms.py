@@ -174,3 +174,38 @@ def test_nms_from_logits_matches_decode_then_nms(rng):
     np.testing.assert_array_equal(
         np.asarray(got.index[:n]), np.asarray(want.index[:n])
     )
+
+
+def test_anchors_from_indices_matches_table():
+    """Arithmetic anchors must equal make_anchors rows for every index,
+    and nms_from_logits must be identical with/without the gather-free
+    path (VERDICT r4 #3: the constant-table gathers ran 1461x off their
+    bytes bound in the batched step)."""
+    from strongsort_yolo_tpu.ops.decode import (
+        anchors_from_indices,
+        make_anchors,
+    )
+    from strongsort_yolo_tpu.ops.nms import nms_from_logits
+
+    fhw = [(80, 80), (40, 40), (20, 20)]
+    strides = (8, 16, 32)
+    anchors, stride_t = make_anchors(fhw, strides)
+    idx = jnp.arange(8400, dtype=jnp.int32)
+    a2, s2 = anchors_from_indices(idx, fhw, strides)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(anchors))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(stride_t))
+
+    r = np.random.default_rng(11)
+    box_logits = jnp.asarray(r.normal(0, 1, (8400, 64)), jnp.float32)
+    cls_logits = jnp.asarray(r.normal(-6, 2, (8400, 80)), jnp.float32)
+    kw = dict(conf_thres=0.3, iou_thres=0.4, max_det=64)
+    want = nms_from_logits(box_logits, cls_logits, anchors, stride_t, **kw)
+    got = nms_from_logits(
+        box_logits, cls_logits, anchors, stride_t,
+        feat_dims=fhw, level_strides=strides, **kw,
+    )
+    assert int(got.count) == int(want.count)
+    for f in ("boxes", "scores", "classes", "index", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)), f
+        )
