@@ -70,6 +70,19 @@ elif mode == "flowbatch":
     state = bp.states
     args = lambda st: (pipe.params, st, frames, pgs, hps)
     per_iter = S
+elif mode == "packbatch":
+    # round-5 packed cross-stream embed at a given total-slot bucket
+    # (argv[5], default 64 slots/stream): profile the packed program
+    # the auto ladder dispatches in steady state
+    G = int(sys.argv[5]) if len(sys.argv) > 5 else S * 64
+    bp = pipe.track_batch_prepare(S, (h, w))
+    steps_p = pipe._get_step((h, w), reid_pack_slots=G)
+    frames = jnp.asarray(np.stack([pool[i % 8] for i in range(S)]))
+    warps = jnp.tile(warp[None], (S, 1, 1))
+    step = steps_p.batch_step
+    state = bp.states
+    args = lambda st: (pipe.params, st, frames, warps)
+    per_iter = S
 else:
     bp = pipe.track_batch_prepare(S, (h, w))
     frames = jnp.asarray(np.stack([pool[i % 8] for i in range(S)]))
