@@ -495,8 +495,10 @@ def main() -> None:
 
     # StrongSORT scaling points past S=16 (VERDICT r3 ask #1: the
     # north-star metric includes ReID — record where ITS curve knees)
-    def run_ss_batched(S, n=25, auto=False):
-        bp_s = ss_pipe.track_batch_prepare(S, (h, w), auto_topk=auto)
+    def run_ss_batched(S, n=25, auto=False, pipe_=None, tag2=""):
+        bp_s = (pipe_ or ss_pipe).track_batch_prepare(
+            S, (h, w), auto_topk=auto
+        )
         fr = jnp.asarray(np.stack([pool[i % len(pool)] for i in range(S)]))
         wp = jnp.tile(warp[None], (S, 1, 1))
         # auto_topk goes through step_async (the bucket dispatch lives
@@ -515,17 +517,17 @@ def main() -> None:
         else:
             for _ in range(3):
                 bp_s.states, _d, _o, _e = bp_s._steps.batch_step(
-                    ss_pipe.params, bp_s.states, fr, wp
+                    (pipe_ or ss_pipe).params, bp_s.states, fr, wp
                 )
             jax.block_until_ready(bp_s.states)
             t0 = time.perf_counter()
             for _ in range(n):
                 bp_s.states, _d, _o, _e = bp_s._steps.batch_step(
-                    ss_pipe.params, bp_s.states, fr, wp
+                    (pipe_ or ss_pipe).params, bp_s.states, fr, wp
                 )
             jax.block_until_ready(bp_s.states)
         fps = S * n / (time.perf_counter() - t0)
-        tag = " auto_topk" if auto else ""
+        tag = (" auto_topk" if auto else "") + tag2
         nrep = bp_s.n_replays if auto else None
         rep = f" (n_replays={nrep})" if auto else ""
         log(f"aggregate {S}-stream strongsort{tag}: {fps:.1f} fps/chip{rep}")
@@ -539,6 +541,17 @@ def main() -> None:
     fps_ss_auto16, rep16 = run_ss_batched(16, auto=True)
     fps_ss_auto32, rep32 = run_ss_batched(32, auto=True)
     fps_ss_auto64, rep64 = run_ss_batched(64, n=18, auto=True)
+
+    # embed cadence 2 (round 5): each stream's appearance refreshes
+    # every 2nd tick (staggered), skip frames associate motion-only —
+    # NOT exact; relay-clip quality deltas in BASELINE.md round-5
+    ssc2_pipe = _P(det_cfg, tracker="strongsort.yaml", track_slots=256,
+                   reid_cadence=2)
+    ssc2_pipe.params = pipe.params
+    fps_ss_c2_32, repc32 = run_ss_batched(
+        32, auto=True, pipe_=ssc2_pipe, tag2=" cadence2")
+    fps_ss_c2_64, repc64 = run_ss_batched(
+        64, n=18, auto=True, pipe_=ssc2_pipe, tag2=" cadence2")
 
     # ---- BASELINE.json config matrix (VERDICT r2 #4): the reference's
     # default model is yolo11n-pose (yolo_multi_model.py:17), and the
@@ -634,6 +647,12 @@ def main() -> None:
             # ~45-det scenes: replays should be the warmup overflow
             # jumps only)
             "strongsort_auto_n_replays_s16_s32_s64": [rep16, rep32, rep64],
+            # cadence 2: appearance every 2nd tick per stream, skip
+            # frames motion-only — NOT exact (quality table in
+            # BASELINE.md round-5)
+            "aggregate_fps_s32_strongsort_cadence2": round(fps_ss_c2_32, 2),
+            "aggregate_fps_s64_strongsort_cadence2": round(fps_ss_c2_64, 2),
+            "strongsort_cadence2_n_replays_s32_s64": [repc32, repc64],
             "aggregate_fps_s8": round(fps8, 2),
             "aggregate_fps_s16": round(fps16, 2),
             "aggregate_fps_s32": round(fps32, 2),

@@ -78,9 +78,16 @@ class AppConfig:
     # cost curve in the Pipeline docstring (crowding -> raise it)
     reid_topk: int = 128  # dets embedded per frame (ReID trackers);
     # 64 cuts the embed tax ~in half for scenes under 64 dets
-    reid_auto_topk: bool = False  # batched mode: adapt the embed width
-    # to the live det count with exact full-width behavior (overflowed
-    # ticks replay at a wider bucket — see BatchedPipeline.auto_topk)
+    reid_auto_topk: bool = True  # batched mode (the serving default):
+    # pack the real dets of all streams into one dense crop batch sized
+    # by a total-count ladder; exact full-width behavior (overflowed
+    # ticks replay at a wider bucket — see BatchedPipeline.auto_topk);
+    # measured strictly faster than fixed width at S=16/32/64
+    reid_cadence: int = 1  # appearance refresh cadence (batched packed
+    # embed only): stream s embeds on ticks where (s+tick) % cadence
+    # == 0; skip frames associate motion-only (StrongSORT has_app).
+    # 1 = exact StrongSORT; >1 trades appearance freshness for
+    # ~cadence-fold less OSNet work (quality deltas in BASELINE.md)
     quant: str | None = None  # "int8": PTQ of the detector conv stack
     # (ops/quant.py); activation scales auto-calibrate on the first
     # decoded frame of the first source
@@ -599,6 +606,7 @@ def run(cfg: AppConfig, sources=None) -> list[StreamStats]:
         reid_weights=cfg.reid_weights,
         tracker_max_dets=cfg.tracker_max_dets,
         reid_topk=cfg.reid_topk,
+        reid_cadence=cfg.reid_cadence,
     )
     from strongsort_yolo_tpu.utils.logging import EventLogger
 

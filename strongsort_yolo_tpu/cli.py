@@ -54,12 +54,25 @@ def build_parser() -> argparse.ArgumentParser:
         "measured cost curve in the Pipeline docstring)",
     )
     parser.add_argument(
-        "--reid-topk", type=str, default="128",
+        "--reid-topk", type=str, default="auto",
         help="detections embedded per frame by the ReID model "
-        "(StrongSORT / BoT-SORT with-reid); 64 halves the embed cost "
-        "for scenes under 64 detections; 'auto' (batched multi-source "
-        "mode) adapts the width to the live det count with exact "
-        "full-width behavior (overflow ticks replay at a wider bucket)",
+        "(StrongSORT / BoT-SORT with-reid). 'auto' (the default; "
+        "batched multi-source mode) packs the REAL detections of all "
+        "streams into one dense crop batch sized by a total-count "
+        "ladder — exact full-width behavior (overflow ticks replay at "
+        "a wider bucket), measured strictly faster at every stream "
+        "count. An integer fixes the per-stream width (single-source "
+        "mode always uses the fixed width; 64 halves the embed cost "
+        "for scenes under 64 detections)",
+    )
+    parser.add_argument(
+        "--reid-refresh-every", type=int, default=1,
+        help="appearance refresh cadence (StrongSORT, batched "
+        "multi-source with --reid-topk auto): each stream's detections "
+        "are embedded every Nth tick (staggered across streams); skip "
+        "frames associate motion-only and the EMA appearance bank "
+        "holds. 1 = every frame (exact). >1 cuts the OSNet embed work "
+        "~N-fold; measured tracking-quality deltas in BASELINE.md",
     )
     parser.add_argument(
         "--classes", nargs="+", type=int, default=None, help="class id filter"
@@ -144,6 +157,7 @@ def main(argv=None) -> int:
         tracker_max_dets=args.tracker_max_dets,
         reid_topk=128 if args.reid_topk == "auto" else int(args.reid_topk),
         reid_auto_topk=args.reid_topk == "auto",
+        reid_cadence=args.reid_refresh_every,
     )
     for s in run(cfg):
         line = f"[{s.source}] frames={s.frames} fps={s.mean_fps:.2f}"

@@ -197,6 +197,14 @@ class Pipeline:
         # unpacked (M, 128, 64, 3) crop tensor costs a measured
         # ~460us/dispatch layout copy at S=16 (NOTES.md); exact math
         # either way.
+        reid_cadence: int = 1,  # appearance refresh cadence (round 5):
+        # in the batched packed-embed path, stream s contributes crops
+        # only on ticks where (s + tick) % cadence == 0 — the EMA bank
+        # tolerates stale features (alpha=0.9), and skip frames
+        # associate motion-only (strongsort_step has_app). 1 = every
+        # frame (exact StrongSORT). >1 trades appearance freshness for
+        # ~cadence-fold less OSNet work; quality deltas measured on the
+        # occlusion-relay clip (BASELINE.md round-5). StrongSORT only.
         tracker_max_dets: int = 128,  # dets fed to association (the NMS
         # output is confidence-sorted, so the top rows are exact; this
         # bounds the auction problem size independently of max_det).
@@ -280,6 +288,9 @@ class Pipeline:
             if reid_packed is None
             else reid_packed
         )
+        if reid_cadence < 1:
+            raise ValueError("reid_cadence must be >= 1")
+        self.reid_cadence = int(reid_cadence)
         feat_dim = 1
         if needs_reid:
             from strongsort_yolo_tpu.models.osnet import (
@@ -434,21 +445,64 @@ class Pipeline:
             stem_fuse_plan(lp, lp.new_h, lp.new_w) if use_pack else None
         )
 
+        # resize route (round 5, SSYT_RESIZE): "kernelp" — the planar
+        # Pallas decimation kernel — is the TPU default. It reads the
+        # staged u8 frame batch in the layout it already has on device
+        # ((0,3,1,2): B-major, channel-planar — the transpose into the
+        # kernel is a free bitcast), decimates rows as static sublane
+        # reads and columns as one-hot MXU dots per channel plane.
+        # Interleaved same-process A/B at S=64 ByteTrack (v5e,
+        # tools/prof/_prof_resize_ab.py, 6 blocks each): kernelp
+        # 22.66 ms/dispatch vs dense 23.59 (+4.1% fps). Falls back to
+        # the dense matmul when the geometry is not pure decimation.
+        # Measured losers kept for reference: "planar" (channel-planar
+        # einsums, 23.62 ms — XLA re-interleaves anyway) and "kernel"
+        # (the row-major contiguous-read kernel: 1.34 ms of kernel time
+        # but ~3.5 ms of XLA layout copies to its operand).
+        import os as _os
+
+        resize_route = _os.environ.get(
+            "SSYT_RESIZE",
+            "kernelp" if target_platform() == "tpu" else "dense",
+        )
+
         def _resize_frames(frames_u8):
-            """(B, H, W, 3) uint8 -> (B, new_h, new_w, 3) compute
+            """(..., H, W, 3) uint8 -> (..., new_h, new_w, 3) compute
             dtype, raw 0..255 BGR (the packed stem consumes raw range).
 
-            Stays the dense matmul: every decimation alternative was
-            re-measured SLOWER at S=32 in round 3 (Pallas selection
-            kernels 12 ms — strided-row DMA bound, see
-            ops/pallas/resize_kernel.py; conv1x1/s3 5.9 ms; strided
-            slice 21 ms; matmul 1.28 in-step)."""
+            Dense-matmul baseline for non-TPU: every CHEAP decimation
+            alternative was re-measured SLOWER at S=32 in round 3
+            (index-mapped Pallas blocks 12 ms — strided-row DMA bound;
+            conv1x1/s3 5.9 ms; strided slice 21 ms; matmul 1.28
+            in-step)."""
             if (lp.new_h, lp.new_w) == tuple(src_hw):
                 return frames_u8.astype(compute_dtype)
             from strongsort_yolo_tpu.ops.letterbox import (
                 resize_bilinear_matmul,
+                resize_bilinear_matmul_planar,
             )
 
+            if resize_route == "planar" and frames_u8.ndim == 4:
+                return resize_bilinear_matmul_planar(
+                    frames_u8, lp.new_h, lp.new_w, dtype=compute_dtype
+                )
+            if (resize_route in ("kernel", "kernelp")
+                    and frames_u8.dtype == jnp.uint8
+                    and target_platform() == "tpu"):
+                from strongsort_yolo_tpu.ops.pallas.resize_kernel import (
+                    decimate_resize_contig,
+                    decimate_resize_planar,
+                    decimation_plan,
+                )
+
+                if decimation_plan(*src_hw, lp.new_h, lp.new_w) is not None:
+                    fn = (decimate_resize_planar
+                          if resize_route == "kernelp"
+                          else decimate_resize_contig)
+                    batch_shape = frames_u8.shape[:-3]
+                    x = frames_u8.reshape((-1,) + frames_u8.shape[-3:])
+                    out = fn(x, lp.new_h, lp.new_w, dtype=compute_dtype)
+                    return out.reshape(batch_shape + out.shape[1:])
             return resize_bilinear_matmul(
                 frames_u8.astype(compute_dtype), lp.new_h, lp.new_w
             )
@@ -601,6 +655,21 @@ class Pipeline:
         needs_reid = reid_cfg is not None and (
             is_strongsort or tracker_cfg.with_reid
         )
+        # embed cadence (round 5): the batched packed step takes an
+        # extra (S,) embed_mask input and skip streams associate
+        # motion-only. StrongSORT only: its stage-1 cost has the
+        # explicit has_app fallback; BoT-SORT's min(iou, emb) form has
+        # no per-frame appearance gate to relax.
+        masked_embed = (
+            reid_pack_slots is not None
+            and needs_reid
+            and self.reid_cadence > 1
+        )
+        if masked_embed and not is_strongsort:
+            raise ValueError(
+                "reid_cadence > 1 is only supported with StrongSORT "
+                "trackers (BoT-SORT keeps cadence 1)"
+            )
 
         def embed_batch(frames_u8, dets):
             """Crop-gather + OSNet embed for the top-k dets of a BATCH
@@ -673,7 +742,7 @@ class Pipeline:
         # exact replay-on-overflow guarantee as the width ladder.
         PACK_G = 8  # slot-group quantum == crop kernel g_crops
 
-        def embed_batch_packed(frames_u8, dets, n_slots):
+        def embed_batch_packed(frames_u8, dets, n_slots, embed_mask=None):
             """frames (S, H, W, 3) uint8; dets fields (S, max_det, ...);
             n_slots: static total crop-slot budget G (PACK_G multiple).
             -> (S, max_det, feat); rows beyond each stream's real count
@@ -681,7 +750,12 @@ class Pipeline:
             Slot overflow (padded total > G) leaves the overflowed
             streams' tail rows zero — the caller (BatchedPipeline)
             detects it from det counts and replays at a bigger G, so
-            committed results never see a truncated embed."""
+            committed results never see a truncated embed.
+
+            embed_mask: optional (S,) bool — streams with False
+            contribute ZERO crop slots this tick (embed-cadence skip;
+            their feature rows come back all-zero and the tracker tail
+            associates them motion-only via ``has_app``)."""
             from strongsort_yolo_tpu.models.osnet import osnet_apply
             from strongsort_yolo_tpu.ops.pack import space_to_depth
             from strongsort_yolo_tpu.ops.pallas.crop_kernel import (
@@ -693,6 +767,8 @@ class Pipeline:
             cap = min(reid_topk, t_max)
             i32 = jnp.int32
             valid = dets.valid[:, :cap]  # (S, cap) — prefix mask
+            if embed_mask is not None:
+                valid = jnp.logical_and(valid, embed_mask[:, None])
             n_s = jnp.sum(valid, axis=1).astype(i32)  # (S,)
             padded = ((n_s + PACK_G - 1) // PACK_G) * PACK_G
             off = jnp.concatenate(
@@ -771,13 +847,15 @@ class Pipeline:
                 )
             return feats
 
-        def feats_for(frames_u8, dets):
+        def feats_for(frames_u8, dets, embed_mask=None):
             """(B, max_det, feat) ReID features, or None when the
             tracker runs motion-only."""
             if not needs_reid:
                 return None
             if reid_pack_slots is not None:
-                return embed_batch_packed(frames_u8, dets, reid_pack_slots)
+                return embed_batch_packed(
+                    frames_u8, dets, reid_pack_slots, embed_mask
+                )
             return embed_batch(frames_u8, dets)
 
         def _stack_det(det):
@@ -808,14 +886,22 @@ class Pipeline:
             return jax.lax.scan(step, track_state, xs)
 
         def _vmap_tail(params, track_states, frames_u8, dets, extras,
-                       warps, feats):
-            """vmap of _assoc_tail over the stream axis."""
+                       warps, feats, has_app=None):
+            """vmap of _assoc_tail over the stream axis. has_app:
+            optional (S,) bool — per-stream embed-cadence flag."""
             if feats is None:
                 return jax.vmap(
                     lambda st, f, d, e, w: _assoc_tail(
                         params, st, f, d, e, w
                     )
                 )(track_states, frames_u8, dets, extras, warps)
+            if has_app is not None:
+                return jax.vmap(
+                    lambda st, f, d, e, w, ft, ha: _assoc_tail(
+                        params, st, f, d, e, w, feats=ft, has_app=ha
+                    )
+                )(track_states, frames_u8, dets, extras, warps, feats,
+                  has_app)
             return jax.vmap(
                 lambda st, f, d, e, w, ft: _assoc_tail(
                     params, st, f, d, e, w, feats=ft
@@ -828,7 +914,7 @@ class Pipeline:
         use_warp = self.gmc.method != "none"
 
         def _assoc_tail(params, track_state, frame_u8, det, extras, warp,
-                        feats=None):
+                        feats=None, has_app=None):
             """Everything after embedding: associate → lifecycle.
             Shared by the single-stream body and the batched step; the
             crop+embed runs OUTSIDE (feats_for) as one true batch
@@ -844,7 +930,7 @@ class Pipeline:
             if is_strongsort:
                 track_state, out = strongsort_step(
                     track_state, tb, ts, tc, tv, feats[:t_max],
-                    tracker_cfg, warp=warp,
+                    tracker_cfg, warp=warp, has_app=has_app,
                 )
             else:
                 track_state, out = bytetrack_step(
@@ -902,15 +988,31 @@ class Pipeline:
         # ride along; the ReID crop+embed runs as ONE (S*topk)-batch
         # program before the vmap (SURVEY.md §2.5 DP: streams are
         # independent, so the batch is collective-free)
-        @jax.jit
-        def batch_step(params, track_states, frames_u8, warps):
-            packed = _packed_prefix(params)  # hoisted out of the vmap
-            out = model_forward(params, frames_u8, packed=packed)
-            dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
-            feats = feats_for(frames_u8, dets)
-            return _vmap_tail(
-                params, track_states, frames_u8, dets, extras, warps, feats
-            )
+        if masked_embed:
+            @jax.jit
+            def batch_step(params, track_states, frames_u8, warps,
+                           embed_mask):
+                packed = _packed_prefix(params)
+                out = model_forward(params, frames_u8, packed=packed)
+                dets, extras = jax.vmap(
+                    lambda o: postprocess(o, t_max)
+                )(out)
+                feats = feats_for(frames_u8, dets, embed_mask)
+                return _vmap_tail(
+                    params, track_states, frames_u8, dets, extras,
+                    warps, feats, has_app=embed_mask,
+                )
+        else:
+            @jax.jit
+            def batch_step(params, track_states, frames_u8, warps):
+                packed = _packed_prefix(params)  # hoisted out of the vmap
+                out = model_forward(params, frames_u8, packed=packed)
+                dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
+                feats = feats_for(frames_u8, dets)
+                return _vmap_tail(
+                    params, track_states, frames_u8, dets, extras, warps,
+                    feats
+                )
 
         if self.gmc.method != "flow_tpu":
             return _StepSet(
@@ -949,15 +1051,7 @@ class Pipeline:
                 # gray pyramid: one full-resolution pass instead of two
                 # (the second 1080p luma+resize cost ~0.9 ms/step at
                 # S=16 — NOTES.md round-2 perf backlog)
-                from strongsort_yolo_tpu.ops.letterbox import (
-                    resize_bilinear_matmul,
-                )
-
-                resized = frame_u8.astype(compute_dtype)  # BGR, 0..255
-                if (lp.new_h, lp.new_w) != tuple(src_hw):
-                    resized = resize_bilinear_matmul(
-                        resized, lp.new_h, lp.new_w
-                    )
+                resized = _resize_frames(frame_u8)  # BGR, 0..255
                 gray = gmc_tpu.gray_from_resized(resized)
             else:
                 resized = None
@@ -1002,9 +1096,8 @@ class Pipeline:
             )
             return track_state, outs, extras, grays[-1]
 
-        @jax.jit
-        def batch_step_flow(params, track_states, frames_u8, prev_grays,
-                            has_prev):
+        def _batch_flow_body(params, track_states, frames_u8, prev_grays,
+                             has_prev, embed_mask=None):
             """Batched flow_tpu step: the resize, gray pyramid, and
             model forward all run as true batch-S programs; only the
             LK estimate, postprocess, and tracker tail are vmapped."""
@@ -1019,11 +1112,25 @@ class Pipeline:
             out = model_forward(params, frames_u8, packed=packed,
                                 resized=resized)
             dets, extras = jax.vmap(lambda o: postprocess(o, t_max))(out)
-            feats = feats_for(frames_u8, dets)
+            feats = feats_for(frames_u8, dets, embed_mask)
             sts, dets, touts, ex = _vmap_tail(
-                params, track_states, frames_u8, dets, extras, est, feats
+                params, track_states, frames_u8, dets, extras, est,
+                feats, has_app=embed_mask,
             )
             return sts, dets, touts, ex, grays
+
+        if masked_embed:
+            @jax.jit
+            def batch_step_flow(params, track_states, frames_u8,
+                                prev_grays, has_prev, embed_mask):
+                return _batch_flow_body(params, track_states, frames_u8,
+                                        prev_grays, has_prev, embed_mask)
+        else:
+            @jax.jit
+            def batch_step_flow(params, track_states, frames_u8,
+                                prev_grays, has_prev):
+                return _batch_flow_body(params, track_states, frames_u8,
+                                        prev_grays, has_prev)
 
         return _StepSet(
             detect_step, track_step, track_chunk, batch_step, lp,
@@ -1274,15 +1381,17 @@ class _PendingTick:
     (full-width-identical) results."""
 
     __slots__ = ("pre", "frames", "warps", "det", "out_extras", "bucket",
-                 "validated")
+                 "validated", "embed_mask")
 
-    def __init__(self, pre, frames, warps, det, out_extras, bucket):
+    def __init__(self, pre, frames, warps, det, out_extras, bucket,
+                 embed_mask=None):
         self.pre = pre
         self.frames = frames
         self.warps = warps
         self.det = det
         self.out_extras = out_extras
         self.bucket = bucket
+        self.embed_mask = embed_mask  # (S,) bool cadence mask or None
         self.validated = False
 
 
@@ -1353,6 +1462,19 @@ class BatchedPipeline:
         # so meshed auto keeps the per-stream WIDTH ladder.
         self._pack = self._auto and mesh is None
         self._pack_g = 8  # slot quantum == crop kernel g_crops
+        # embed cadence (Pipeline reid_cadence > 1): stream s embeds
+        # on ticks where (s + tick) % cadence == 0 — staggered so every
+        # tick embeds ~S/cadence streams and the packed bucket shrinks
+        # accordingly. Requires the packed auto path (the mask feeds
+        # the step program and the ladder demand).
+        self._cadence = pipeline.reid_cadence if self._pack else 1
+        if (pipeline.reid_cadence > 1 and not self._pack
+                and pipeline.reid_params is not None):
+            raise ValueError(
+                "reid_cadence > 1 requires auto_topk=True without a "
+                "mesh (the packed cross-stream embed path)"
+            )
+        self._tick = 0
         if self._auto:
             import collections
 
@@ -1485,7 +1607,14 @@ class BatchedPipeline:
         # the same way the bench's block-every-N loop does.
         if len(self._pending) >= self._validate_lag:
             self._drain_pending()
-        rec = self._dispatch_tick(frames, warps)
+        mask = None
+        if self._cadence > 1:
+            mask = (
+                (np.arange(self.num_streams) + self._tick)
+                % self._cadence == 0
+            )
+        self._tick += 1
+        rec = self._dispatch_tick(frames, warps, mask)
         self._pending.append(rec)
         return rec
 
@@ -1527,12 +1656,13 @@ class BatchedPipeline:
                 if self.n_replays != n_before:
                     break  # queue re-dispatched; prefetched counts stale
 
-    def _dispatch_tick(self, frames, warps) -> "_PendingTick":
+    def _dispatch_tick(self, frames, warps, embed_mask=None) -> "_PendingTick":
         pre = (self.states, self._prev_grays, self._has_prev.copy())
-        det, handle = self._dispatch(self._steps, frames, warps)
-        return _PendingTick(pre, frames, warps, det, handle, self._bucket)
+        det, handle = self._dispatch(self._steps, frames, warps, embed_mask)
+        return _PendingTick(pre, frames, warps, det, handle, self._bucket,
+                            embed_mask)
 
-    def _demand(self, counts) -> tuple[int, int]:
+    def _demand(self, counts, embed_mask=None) -> tuple[int, int]:
         """Per-stream det counts -> (needed, guard) in BUCKET units.
         ``needed`` is the exact demand the tick's bucket must cover;
         ``guard`` is the demand with headroom, used by the hysteresis
@@ -1540,14 +1670,19 @@ class BatchedPipeline:
         padded to the slot quantum; guard adds ONE det per stream (the
         lower rung is safe only if every stream could gain a det
         without overflowing). Width mode: both are the max count (the
-        lower-rung margin lives in the down-switch rule instead)."""
+        lower-rung margin lives in the down-switch rule instead).
+        ``embed_mask``: cadence mask — skipped streams demand zero
+        slots (exactly mirroring embed_batch_packed's masking)."""
         c = np.minimum(np.asarray(counts, np.int64), self._row_cap)
+        if embed_mask is not None:
+            c = c * np.asarray(embed_mask)
         if self._pack:
             g = self._pack_g
+            cg = np.minimum(c + 1, self._row_cap)
+            if embed_mask is not None:
+                cg = cg * np.asarray(embed_mask)
             need = int(np.sum(-(-c // g) * g))
-            guard = int(np.sum(
-                -(-np.minimum(c + 1, self._row_cap) // g) * g
-            ))
+            guard = int(np.sum(-(-cg // g) * g))
             return need, guard
         m = int(np.max(c)) if np.size(c) else 0
         return m, m
@@ -1562,7 +1697,7 @@ class BatchedPipeline:
         # only sets how many dets get ReID embeddings
         counts = (np.asarray(rec.det.count)
                   if _counts is None else np.asarray(_counts))
-        need, guard = self._demand(counts)
+        need, guard = self._demand(counts, rec.embed_mask)
         cap = self._ladder[-1]
         if need > rec.bucket and rec.bucket < cap:
             self.n_replays += 1
@@ -1582,7 +1717,7 @@ class BatchedPipeline:
                 r.pre = (self.states, self._prev_grays,
                          self._has_prev.copy())
                 r.det, r.out_extras = self._dispatch(
-                    self._steps, r.frames, r.warps
+                    self._steps, r.frames, r.warps, r.embed_mask
                 )
                 r.bucket = self._bucket
             self._pending = redo[1:]
@@ -1633,20 +1768,23 @@ class BatchedPipeline:
                 )
         return self._stepsets[bucket]
 
-    def _dispatch(self, steps, frames, warps):
+    def _dispatch(self, steps, frames, warps, embed_mask=None):
         """Run one tick through the given step set; mutates state and
-        returns (device det struct, results handle)."""
+        returns (device det struct, results handle). ``embed_mask``:
+        the (S,) cadence mask — required (non-None) exactly when the
+        step set was built with reid_cadence > 1."""
         p = self.pipeline
+        extra = () if embed_mask is None else (jnp.asarray(embed_mask),)
         if warps is None:
             (self.states, det, out, extras,
              self._prev_grays) = steps.batch_step_flow(
                 p.params, self.states, frames, self._prev_grays,
-                jnp.asarray(self._has_prev),
+                jnp.asarray(self._has_prev), *extra,
             )
             self._has_prev[:] = True
         else:
             self.states, det, out, extras = steps.batch_step(
-                p.params, self.states, frames, warps
+                p.params, self.states, frames, warps, *extra
             )
         return det, (out, extras)
 

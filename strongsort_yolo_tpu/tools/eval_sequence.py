@@ -47,8 +47,14 @@ DET_CKPT = os.path.join(ASSETS, "yolov8n_synth160.npz")
 REID_CKPT = os.path.join(ASSETS, "osnet_x0_25_synth.npz")
 
 
-def run_arm(clip, *, lam: float, gmc: str = "none", reid_ckpt=REID_CKPT):
-    """-> (metrics dict, records list, (gt_frames, hyp_frames))."""
+def run_arm(clip, *, lam: float, gmc: str = "none", reid_ckpt=REID_CKPT,
+            cadence: int = 0):
+    """-> (metrics dict, records list, (gt_frames, hyp_frames)).
+
+    cadence: 0 = single-stream ``pipe.track`` path (the classic rows);
+    >= 1 = the batched packed-embed serving path (S=1 BatchedPipeline,
+    auto_topk) with that appearance-refresh cadence — the round-5
+    quality harness for ``reid_cadence`` (1 is the exact control)."""
     from strongsort_yolo_tpu.config import DetectorConfig
     from strongsort_yolo_tpu.pipeline import Pipeline
     from strongsort_yolo_tpu.track.strongsort import StrongSortConfig
@@ -62,11 +68,14 @@ def run_arm(clip, *, lam: float, gmc: str = "none", reid_ckpt=REID_CKPT):
         DetectorConfig(weights=DET_CKPT, imgsz=160, conf=0.3, iou=0.4,
                        max_det=16, half=False),
         tracker=tracker, track_slots=16, tracker_max_dets=16,
-        reid_weights=reid_ckpt,
+        reid_weights=reid_ckpt, reid_cadence=max(cadence, 1),
     )
+    bp = None
+    if cadence >= 1:
+        bp = pipe.track_batch_prepare(1, (clip.h, clip.w), auto_topk=True)
     gt_vis, gt_occ, hyp_frames, records = [], [], [], []
     for t, frame in enumerate(clip):
-        r = pipe.track(frame)
+        r = bp.step(frame[None])[0] if bp is not None else pipe.track(frame)
         # two GT protocols from one run: visible-only (CLEAR-style
         # filtered GT) and MOT17-style annotated-through-occlusion
         gt_vis.append([tuple(g) for g in clip.truth(t)])
@@ -111,6 +120,12 @@ def main(argv=None):
                     "a real-scene regression check for the schedule)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the ambient (axon TPU) backend")
+    ap.add_argument("--cadence", type=int, nargs="+", default=None,
+                    metavar="K",
+                    help="ALSO run reid_cadence arms through the "
+                    "batched packed-embed serving path (S=1, "
+                    "auto_topk); pass 1 as the exact control, e.g. "
+                    "--cadence 1 2 4")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -134,6 +149,10 @@ def main(argv=None):
         )
         rows[name] = m
         rows[name + "_pp_aflink_gsi"] = eval_pp(records, (gt_vis, gt_occ))
+    for k in args.cadence or []:
+        clip = fresh_clip()
+        m, _records, _g = run_arm(clip, lam=0.98, gmc=args.gmc, cadence=k)
+        rows[f"strongsort_cadence{k}"] = m
 
     if args.json:
         print(json.dumps({

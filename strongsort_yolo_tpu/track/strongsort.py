@@ -66,7 +66,7 @@ class StrongSortConfig:
 
 
 def _kf_update_slots(state, matched, slot_det, det_meas, det_scores, det_cls,
-                     det_feats, cfg):
+                     det_feats, cfg, has_app=None):
     idx = jnp.clip(slot_det, 0, det_meas.shape[0] - 1)
     meas = det_meas[idx]
     conf = det_scores[idx]
@@ -85,7 +85,8 @@ def _kf_update_slots(state, matched, slot_det, det_meas, det_scores, det_cls,
         mixed = mixed / jnp.maximum(
             jnp.linalg.norm(mixed, axis=1, keepdims=True), 1e-12
         )
-        feat = jnp.where(m[:, None], mixed, state.feat)
+        upd = m if has_app is None else jnp.logical_and(m, has_app)
+        feat = jnp.where(upd[:, None], mixed, state.feat)
     return state._replace(
         mean=jnp.where(m[:, None], new_mean, state.mean),
         cov=jnp.where(m[:, None, None], new_cov, state.cov),
@@ -108,6 +109,12 @@ def strongsort_step(
     cfg: StrongSortConfig = StrongSortConfig(),
     *,
     warp: jnp.ndarray | None = None,  # (2, 3) ECC affine [H5]
+    has_app: jnp.ndarray | None = None,  # scalar bool: det_feats are
+    # real this frame. None (static) = always. When a traced False, the
+    # frame's dets carry NO appearance (embed-cadence skip frame —
+    # features are all-zero): stage 1 falls back to a motion-only cost
+    # (Mahalanobis within the chi2 gate, scaled so the match_thresh
+    # acceptance spans the whole gate) and the EMA bank holds.
 ) -> tuple[TrackState, TrackOutputs]:
     form = cfg.form
     state = state._replace(frame_id=state.frame_id + 1)
@@ -136,6 +143,17 @@ def strongsort_step(
     blended = jnp.where(
         emb / 2.0 > cfg.max_cosine_distance, costs.INF_COST, blended
     )
+    if has_app is not None:
+        # embed-cadence skip frame: every det feature is zero, so the
+        # cosine gate above would forbid EVERY pair (emb == 1). Use
+        # motion only: Mahalanobis normalized to the gate, scaled so
+        # ``match_thresh`` accepts the full in-gate range (ranking is
+        # unchanged by the monotone scale).
+        motion_only = jnp.where(
+            maha > cfg.gate, costs.INF_COST,
+            (maha / cfg.gate) * cfg.match_thresh,
+        )
+        blended = jnp.where(has_app, blended, motion_only)
     c1 = costs.mask_cost(blended, confirmed, usable)
     a1 = solve_assignment(c1, cfg.match_thresh, confirmed, usable)
     m1 = a1.row_to_col >= 0
@@ -161,7 +179,7 @@ def strongsort_step(
     slot_det = jnp.where(m1, a1.row_to_col, a2.row_to_col)
     state = _kf_update_slots(
         state, matched, slot_det, det_meas, det_scores, det_cls,
-        det_feats, cfg,
+        det_feats, cfg, has_app=has_app,
     )
 
     # 4. deaths: unmatched tentative now; confirmed past max_age

@@ -122,6 +122,65 @@ def test_decimate_resize_kernel_bitexact():
     assert decimation_plan(1080, 1920, 368, 640) is None
 
 
+def test_resize_planar_matches_dense_bitexact():
+    """Round-5 channel-planar route (the TPU serving default): SAME
+    interpolation matrices contracted per channel plane instead of with
+    a c-minor dim — must be bit-exact vs the dense NHWC contraction in
+    both bf16 and f32, batched and single-frame."""
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.ops.letterbox import (
+        resize_bilinear_matmul,
+        resize_bilinear_matmul_planar,
+    )
+
+    rng = np.random.default_rng(7)
+    f = rng.integers(0, 255, (2, 1080, 1920, 3), dtype=np.uint8)
+    for dt in (jnp.bfloat16, jnp.float32):
+        a = np.asarray(
+            resize_bilinear_matmul_planar(jnp.asarray(f), 360, 640, dtype=dt)
+        ).astype(np.float32)
+        b = np.asarray(
+            resize_bilinear_matmul(jnp.asarray(f).astype(dt), 360, 640)
+        ).astype(np.float32)
+        np.testing.assert_array_equal(a, b)
+    # single frame (3D) path, non-decimation geometry (true 2-tap blend)
+    g = rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
+    a = np.asarray(
+        resize_bilinear_matmul_planar(
+            jnp.asarray(g), 360, 640, dtype=jnp.float32
+        )
+    )
+    b = np.asarray(
+        resize_bilinear_matmul(
+            jnp.asarray(g).astype(jnp.float32), 360, 640
+        )
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_decimate_resize_planar_bitexact():
+    """Round-5 planar-input Pallas decimation kernel (operand layout
+    (0,3,1,2) — no relayout copy on TPU) must be bit-exact vs the dense
+    matmul resize too."""
+    import jax.numpy as jnp
+
+    from strongsort_yolo_tpu.ops.letterbox import resize_bilinear_matmul
+    from strongsort_yolo_tpu.ops.pallas.resize_kernel import (
+        decimate_resize_planar,
+    )
+
+    rng = np.random.default_rng(6)
+    f = rng.integers(0, 255, (2, 1080, 1920, 3), dtype=np.uint8)
+    a = np.asarray(
+        decimate_resize_planar(jnp.asarray(f), 360, 640, interpret=True)
+    ).astype(np.float32)
+    b = np.asarray(
+        resize_bilinear_matmul(jnp.asarray(f).astype(jnp.bfloat16), 360, 640)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_decimate_resize_contig_bitexact():
     """Round-5 contiguous-read variant (full-frame DMA + in-VMEM row
     selection — the fix the round-3 kernel's postmortem prescribed)
