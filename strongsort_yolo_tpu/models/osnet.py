@@ -200,6 +200,8 @@ def osnet_apply(
     compute_dtype=jnp.float32,
     packed_input: bool = False,
     channel_order: str = "rgb",
+    fused: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """-> (M, feat_dim) L2-normalized appearance embeddings.
 
@@ -214,6 +216,14 @@ def osnet_apply(
     pipeline's case). The BGR path costs nothing at runtime: the
     normalization vectors and the stem weights' input-channel axis are
     reversed at TRACE time instead of flipping every crop.
+
+    fused: run the three backbone stages as VMEM-resident Pallas
+    kernels (ops/pallas/osnet_kernel — one HBM read + one write per
+    STAGE instead of ~30 activation traversals per block; same math,
+    BN folded at trace time). The stem, maxpool and fc head stay XLA.
+    MEASURED NEGATIVE on the v5e (0.51x in-step — the depthwise
+    stencils are a VPU op-count floor XLA already sits near; see the
+    kernel module docstring); kept for the record, off by default.
     """
     assert channel_order in ("rgb", "bgr"), channel_order
     # ImageNet normalization (standard for ReID backbones)
@@ -237,16 +247,45 @@ def osnet_apply(
         x = (crops.astype(compute_dtype) - mean) / std
         x = _relu_conv(stem, x, stride=2)
     x = _maxpool_s2(x)
-    x = _os_block_apply(params["b2a"], x)
-    x = _os_block_apply(params["b2b"], x)
-    x = _avgpool2(_relu_conv(params["t2"], x))
-    x = _os_block_apply(params["b3a"], x)
-    x = _os_block_apply(params["b3b"], x)
-    x = _avgpool2(_relu_conv(params["t3"], x))
-    x = _os_block_apply(params["b4a"], x)
-    x = _os_block_apply(params["b4b"], x)
-    x = _relu_conv(params["conv5"], x)
-    x = jnp.mean(x, axis=(1, 2))  # global average pool -> (M, c4)
+    if fused:
+        from strongsort_yolo_tpu.ops.pallas.osnet_kernel import (
+            StageSpec,
+            fold_stage,
+            os_stage,
+        )
+
+        h, w = x.shape[1], x.shape[2]
+        c1 = x.shape[3]
+        c2 = params["t2"]["w"].shape[-1]
+        c3 = params["t3"]["w"].shape[-1]
+        c4 = params["conv5"]["w"].shape[-1]
+        tm = 8
+        while x.shape[0] % tm:
+            tm //= 2
+        x = x.transpose(0, 3, 1, 2)  # kernels run channel-major
+        for blk, ep, spec in (
+            ("b2", "t2", StageSpec(h, w, c1, c2, c2 // 4, "pool")),
+            ("b3", "t3", StageSpec(h // 2, w // 2, c2, c3, c3 // 4,
+                                   "pool")),
+            ("b4", "conv5", StageSpec(h // 4, w // 4, c3, c4, c4 // 4,
+                                      "gap")),
+        ):
+            f = fold_stage(params[blk + "a"], params[blk + "b"],
+                           params[ep], spec, wdtype=compute_dtype,
+                           tm=tm)
+            x = os_stage(x, f, spec=spec, tm=tm, interpret=interpret)
+        # x: (M, c4) — conv5 + global average pool ran in-kernel
+    else:
+        x = _os_block_apply(params["b2a"], x)
+        x = _os_block_apply(params["b2b"], x)
+        x = _avgpool2(_relu_conv(params["t2"], x))
+        x = _os_block_apply(params["b3a"], x)
+        x = _os_block_apply(params["b3b"], x)
+        x = _avgpool2(_relu_conv(params["t3"], x))
+        x = _os_block_apply(params["b4a"], x)
+        x = _os_block_apply(params["b4b"], x)
+        x = _relu_conv(params["conv5"], x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (M, c4)
     fc = params["fc"]
     feat = C.conv2d_bias_apply(fc["lin"], x[:, None, None, :])[:, 0, 0, :]
     bn = fc["bn"]

@@ -652,6 +652,24 @@ class Pipeline:
 
         banded_kernel = reid_banded and target_platform() == "tpu"
 
+        # fused OSNet stage kernels (round 5): MEASURED NEGATIVE, OFF
+        # by default. The VMEM-resident Pallas stage kernels
+        # (ops/pallas/osnet_kernel) eliminate the ~30 HBM activation
+        # traversals per OS block, but the in-step A/B
+        # (tools/prof/_prof_osnet_step_ab.py, S=16/32 fixed128) runs
+        # 0.51x: OSNet-x0_25's depthwise 3x3 stencils are a VPU
+        # op-count floor (~4.5-5 ms at G=2048 crops) that XLA's conv
+        # emitter already sits near — the embed was never actually
+        # HBM-bound once the round-4/5 crop+pack work landed. Kernel +
+        # exactness tests kept as the record (NOTES round-5);
+        # SSYT_OSNET=fused re-enables for re-measurement.
+        import os as _os2
+
+        reid_fused = (
+            _os2.environ.get("SSYT_OSNET", "xla") == "fused"
+            and target_platform() == "tpu"
+        )
+
         needs_reid = reid_cfg is not None and (
             is_strongsort or tracker_cfg.with_reid
         )
@@ -720,6 +738,7 @@ class Pipeline:
                 compute_dtype=compute_dtype,
                 packed_input=reid_packed,
                 channel_order="bgr",
+                fused=reid_fused,
             ).reshape(b, reid_topk, -1)
             feats = jnp.where(dets.valid[:, :reid_topk, None], feats, 0.0)
             if reid_topk < det_cfg.max_det:
@@ -822,6 +841,7 @@ class Pipeline:
                 compute_dtype=compute_dtype,
                 packed_input=reid_packed,
                 channel_order="bgr",
+                fused=reid_fused,
             )  # (G, feat)
             feats_g = jnp.where(slot_real[:, None], feats_g, 0.0)
             # scatter features back to (S, cap, feat); dummy slots
