@@ -352,60 +352,18 @@ def main() -> None:
     fps8, mfu8 = run_batched(8)
     fps16, mfu16 = run_batched(16)
     fps32, mfu32 = run_batched(32)
-    fps48, mfu48 = run_batched(48, n=35)
     fps64, mfu64 = run_batched(64, n=25)
     scaling = [(8, fps8, mfu8), (16, fps16, mfu16), (32, fps32, mfu32),
-               (48, fps48, mfu48), (64, fps64, mfu64)]
+               (64, fps64, mfu64)]
     S, fps_agg, mfu_agg = max(scaling, key=lambda t: t[1])
 
-    # int8 PTQ rows (VERDICT r3 ask #2): same calibrated detector with
-    # the backbone+neck quantized post-hoc (ops/quant.quantize_model —
-    # per-channel int8 weights, dynamic per-tensor int8 activations,
-    # int32 MXU accumulation; v5e int8 peak is 2x bf16). MFU is
-    # reported against the BF16 peak for comparability — the int8
-    # bound is half the printed distance-to-peak.
-    from strongsort_yolo_tpu.ops.quant import quantize_model
-
-    q_pipe = _P(det_cfg, tracker=tracker, track_slots=256)
-    q_pipe.params, _nq = quantize_model(pipe.params)
-    n_cal = q_pipe.calibrate_int8([pool[0]])  # static act scales (CPU)
-    log(f"int8: quantized {_nq} convs, calibrated {n_cal}")
-    q_steps = q_pipe._get_step((h, w))
-    q_state = q_pipe.track_state
-    q_state, q_outs, _ = q_steps.track_chunk(
-        q_pipe.params, q_state, dev_frames, warps
-    )
-    jax.block_until_ready(q_outs)
-    t0 = time.perf_counter()
-    for _ in range(FRAMES // chunk):
-        q_state, q_outs, _ = q_steps.track_chunk(
-            q_pipe.params, q_state, dev_frames, warps
-        )
-    jax.block_until_ready((q_state, q_outs))
-    fps_int8 = FRAMES / (time.perf_counter() - t0)
-    log(f"single-stream int8 (backbone+neck PTQ): {fps_int8:.1f} fps")
-
-    bq = q_pipe.track_batch_prepare(64, (h, w))
-    frames_q = jnp.asarray(np.stack([pool[i % len(pool)] for i in range(64)]))
-    warps_q = jnp.tile(warp[None], (64, 1, 1))
-    for _ in range(3):
-        bq.states, dets_q, _o, _e = bq._steps.batch_step(
-            q_pipe.params, bq.states, frames_q, warps_q
-        )
-    jax.block_until_ready(bq.states)
-    ndet_q = int(np.asarray(dets_q.count)[0])
-    t0 = time.perf_counter()
-    for _ in range(25):
-        bq.states, _d, _o, _e = bq._steps.batch_step(
-            q_pipe.params, bq.states, frames_q, warps_q
-        )
-    jax.block_until_ready(bq.states)
-    fps_int8_b64 = 64 * 25 / (time.perf_counter() - t0)
-    log(
-        f"aggregate 64-stream int8: {fps_int8_b64:.1f} fps/chip, "
-        f"MFU(bf16-peak) {100 * fps_int8_b64 * flops_frame / V5E_BF16_PEAK:.1f}% "
-        f"({ndet_q} dets/frame)"
-    )
+    # int8 PTQ rows DROPPED from the per-round run (round 5): the path
+    # is opt-in and measured-negative in-step (BASELINE.md; last
+    # measured BENCH_r04: single 1240 / S=64 2437 fps/chip vs 1304 /
+    # 2907 bf16) — the two compiles cost ~3 min of bench budget that
+    # round 5 spends on the StrongSORT auto/cadence rows instead.
+    # tests/test_quant.py still guards the path; re-measure via
+    # tools/prof/_prof_int8_ab.py when the quantizer changes.
 
     # reference-default-config batched figure: botsort GMC active on
     # every stream (device flow_tpu, estimated in-step)

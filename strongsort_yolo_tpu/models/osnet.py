@@ -193,6 +193,53 @@ def _maxpool_s2(x):
     )
 
 
+def _stem_norm_folded(
+    stem: Params,
+    crops: jnp.ndarray,  # (M, ...) in [0,1], compute dtype
+    mean: jnp.ndarray,   # (3,) f32 (already channel-ordered)
+    std: jnp.ndarray,
+    *,
+    packed_input: bool,
+) -> jnp.ndarray:
+    """stem(normalize(crops)) with the per-channel affine folded into
+    the conv — EXACTLY, including borders.
+
+    conv((x - m)/s) == conv_{W/s}(x) - D, where D = conv_{W/s}(m) is
+    the folded conv of the constant MEAN map (the folded weight
+    already carries the 1/s) under the SAME zero padding: constant in the
+    interior, position-dependent at the borders (padded zeros stood
+    for "pixel == 0 in normalized space", i.e. raw value m). D is a
+    weights-only (1, H, W, c1) tensor XLA hoists out of the crop
+    batch; the (M, crop, crop, C) normalize pass never runs.
+    Oracle-equality pinned by tests/test_osnet_kernel.py."""
+    dt = crops.dtype
+    if packed_input:
+        from strongsort_yolo_tpu.ops.pack import pack_stem7_weight
+
+        w = pack_stem7_weight(stem["w"])
+        ms = jnp.repeat(mean, 4)
+        w = (w / jnp.repeat(std, 4)[None, None, :, None]).astype(dt)
+        stride, pad = 1, ((2, 1), (2, 1))
+        hw = (crops.shape[1], crops.shape[2])
+    else:
+        w = (stem["w"] / std[None, None, :, None]).astype(dt)
+        ms = mean
+        stride, pad = 2, ((3, 3), (3, 3))
+        hw = (crops.shape[1], crops.shape[2])
+
+    def conv(v):
+        return jax.lax.conv_general_dilated(
+            v, w, window_strides=(stride, stride), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    const = jnp.broadcast_to(
+        ms.astype(dt), (1,) + hw + (ms.shape[0],)
+    )
+    y = conv(crops) - conv(const)
+    return jax.nn.relu(C.bn_act(stem, y, eps=BN_EPS, act=False))
+
+
 def osnet_apply(
     params: Params,
     crops: jnp.ndarray,  # (M, 128, 64, 3) in [0,1]
@@ -226,26 +273,20 @@ def osnet_apply(
     kernel module docstring); kept for the record, off by default.
     """
     assert channel_order in ("rgb", "bgr"), channel_order
-    # ImageNet normalization (standard for ReID backbones)
-    mean = jnp.asarray([0.485, 0.456, 0.406], compute_dtype)
-    std = jnp.asarray([0.229, 0.224, 0.225], compute_dtype)
+    # ImageNet normalization (standard for ReID backbones) — folded
+    # into the stem conv at trace time (_stem_norm_folded): the
+    # (M, crop, crop, C) `(x - mean)/std` tensor was a pure HBM pass
+    # the v5e roofline audit billed at 608 us/step at bucket 4096
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
     stem = dict(params["stem"])
     if channel_order == "bgr":
         mean, std = mean[::-1], std[::-1]
         stem["w"] = stem["w"][:, :, ::-1, :]
-    if packed_input:
-        from strongsort_yolo_tpu.ops.pack import pack_stem7_weight
-
-        x = (crops.astype(compute_dtype) - jnp.repeat(mean, 4)) / jnp.repeat(
-            std, 4
-        )
-        stem["w"] = pack_stem7_weight(stem["w"])
-        x = jax.nn.relu(
-            C.conv_apply(stem, x, stride=1, pad=(2, 1), act=False, eps=BN_EPS)
-        )
-    else:
-        x = (crops.astype(compute_dtype) - mean) / std
-        x = _relu_conv(stem, x, stride=2)
+    x = _stem_norm_folded(
+        stem, crops.astype(compute_dtype), mean, std,
+        packed_input=packed_input,
+    )
     x = _maxpool_s2(x)
     if fused:
         from strongsort_yolo_tpu.ops.pallas.osnet_kernel import (

@@ -26,6 +26,7 @@ sorted by confidence, plus a valid-count scalar.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -81,6 +82,39 @@ def _greedy_keep_fixpoint(
     return keep
 
 
+def _topk_packed_bf16(best_logit: jnp.ndarray, k: int):
+    """Exact top-k of a (A,) bf16 vector via ONE single-key s32 sort.
+
+    ``jax.lax.top_k`` lowers to a variadic (f32 key, s32 iota payload)
+    sort — at S=64/A=8400 the v5e roofline audit bills it 573 us (54x
+    bytes) plus a 461 us iota/payload fusion. Packing rank into one
+    int32 removes the payload stream and the iota pass:
+
+        key = monotone(bf16 bits) << 14 | (16383 - anchor_idx)
+
+    where monotone() is the standard order-preserving float->uint flip
+    (negatives reversed, sign cleared). bf16 ranks == f32-cast ranks
+    (the cast is exact), and for EQUAL logits the complemented index
+    makes the descending order prefer the LOWER anchor index — exactly
+    ``top_k``'s stable tie-break, asserted in tests/test_nms.py.
+
+    Returns (top_logit f32, top_idx s32), both (k,)."""
+    a = best_logit.shape[0]
+    assert a <= 16384, a
+    u = jax.lax.bitcast_convert_type(best_logit, jnp.uint16)
+    u = u.astype(jnp.int32)
+    flip = jnp.where(u >= 0x8000, 0xFFFF, 0x8000)
+    key = ((u ^ flip) << 14) | (16383 - jnp.arange(a, dtype=jnp.int32))
+    top = jnp.flip(jax.lax.sort(key, dimension=-1)[-k:], axis=-1)
+    top_idx = 16383 - (top & 16383)
+    mono = (top >> 14) & 0xFFFF
+    bits = mono ^ jnp.where(mono >= 0x8000, 0x8000, 0xFFFF)
+    top_logit = jax.lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return top_logit, top_idx
+
+
 def nms_from_logits(
     box_logits: jnp.ndarray,  # (A, 4*reg_max) raw DFL logits
     cls_logits: jnp.ndarray,  # (A, nc) raw class logits
@@ -134,6 +168,15 @@ def nms_from_logits(
         top_logit, top_idx = jax.lax.approx_max_k(
             best_logit.astype(jnp.float32), k
         )
+    elif (best_logit.dtype == jnp.bfloat16 and a <= 16384
+          and os.environ.get("SSYT_TOPK", "lax") == "packed"):
+        # single-key packed sort: exact (tie-exact) and removes the
+        # variadic payload+iota passes the roofline audit bills at
+        # ~1 ms device time — but measured PERF-NEUTRAL in-step at
+        # S=64 (2858 vs 2848 fps/chip): the sort overlaps with other
+        # work, so the device-time line does not convert to wall
+        # clock. Kept opt-in as the round-5 record (VERDICT r4 #3).
+        top_logit, top_idx = _topk_packed_bf16(best_logit, k)
     else:
         top_logit, top_idx = jax.lax.top_k(best_logit.astype(jnp.float32), k)
     top_conf = jax.nn.sigmoid(top_logit)

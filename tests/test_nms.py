@@ -209,3 +209,37 @@ def test_anchors_from_indices_matches_table():
         np.testing.assert_array_equal(
             np.asarray(getattr(got, f)), np.asarray(getattr(want, f)), f
         )
+
+
+def test_topk_packed_bf16_matches_lax_topk():
+    """The single-key packed sort (ops/nms._topk_packed_bf16) must
+    reproduce jax.lax.top_k exactly on bf16 inputs — values AND the
+    lower-index-first tie-break (it replaces the variadic f32+s32
+    top_k sort in the TPU select path)."""
+    from strongsort_yolo_tpu.ops.nms import _topk_packed_bf16
+
+    rng = np.random.default_rng(11)
+    for a, k in ((8400, 512), (8400, 32), (1000, 1000), (256, 64)):
+        # coarse grid forces MANY exact bf16 ties; include +-inf-ish
+        # extremes and long negative tails (masked-class logits)
+        vals = rng.choice(
+            np.asarray([-1e9, -5.0, -1.25, -0.5, 0.0, 0.5, 1.25, 7.0]),
+            size=a,
+        ).astype(np.float32)
+        vals[rng.integers(0, a, 5)] = 88.0  # unique spikes
+        x = jnp.asarray(vals, jnp.bfloat16)
+        want_v, want_i = jax.lax.top_k(x.astype(jnp.float32), k)
+        got_v, got_i = _topk_packed_bf16(x, k)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(
+            np.asarray(got_v), np.asarray(want_v)
+        )
+
+    # dense continuous values (few ties) + batched via vmap
+    x = jnp.asarray(rng.normal(0, 4, (8, 8400)), jnp.bfloat16)
+    want_v, want_i = jax.lax.top_k(x.astype(jnp.float32), 512)
+    got_v, got_i = jax.vmap(
+        lambda r: _topk_packed_bf16(r, 512)
+    )(x)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))

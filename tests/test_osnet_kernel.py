@@ -91,3 +91,60 @@ def test_fused_packed_stem_route(params):
                         channel_order="bgr", fused=True, interpret=True)
     np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
                                atol=5e-4)
+
+
+def test_stem_norm_fold_exact(params):
+    """stem(normalize(x)) == the folded form (weights/std + the
+    border-corrected constant map) — both crop geometries, f32."""
+    from strongsort_yolo_tpu.models.common import bn_act
+    from strongsort_yolo_tpu.models.osnet import (
+        BN_EPS,
+        _stem_norm_folded,
+    )
+    from strongsort_yolo_tpu.ops.pack import (
+        pack_stem7_weight,
+        space_to_depth,
+    )
+
+    rng = np.random.default_rng(9)
+    crops = jnp.asarray(rng.uniform(0, 1, (6, 128, 64, 3)), jnp.float32)
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    stem = dict(params["stem"])
+
+    # unpacked: normalize -> 7x7/2 conv -> BN -> relu
+    xn = (crops - mean) / std
+    want = jax.nn.relu(
+        bn_act(
+            stem,
+            jax.lax.conv_general_dilated(
+                xn, stem["w"], (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ),
+            eps=BN_EPS, act=False,
+        )
+    )
+    got = _stem_norm_folded(stem, crops, mean, std, packed_input=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+
+    # packed: s2d crops -> transition-form stem
+    packed = space_to_depth(crops)
+    xnp = (packed - jnp.repeat(mean, 4)) / jnp.repeat(std, 4)
+    want_p = jax.nn.relu(
+        bn_act(
+            stem,
+            jax.lax.conv_general_dilated(
+                xnp, pack_stem7_weight(stem["w"]), (1, 1),
+                [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ),
+            eps=BN_EPS, act=False,
+        )
+    )
+    got_p = _stem_norm_folded(stem, packed, mean, std, packed_input=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=3e-5, rtol=1e-5)
+    # and the two geometries agree with each other (exact repack)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(got),
+                               atol=3e-5, rtol=1e-5)
