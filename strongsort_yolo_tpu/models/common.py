@@ -23,12 +23,25 @@ x) -> y`` pair. No classes, no framework magic.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 Params = dict[str, Any]
+
+# Conv-emitter variance probe knob (roofline audit follow-up): the
+# S=64 step's same-shape convs run at 23-86 TF/s depending on which
+# layout/emitter XLA assigns per fusion. SSYT_CONVVAR selects an
+# alternative formulation for A/B measurement (tools/prof/
+# _prof_convvar.py); OFF (default) in serving.
+#   mm1x1   — emit ALL eligible 1x1 convs as explicit dots (matmul
+#             layouts instead of the conv emitter's choice)
+#   barrier — optimization_barrier between conv and its BN/SiLU
+#             epilogue (splits the multiply_add fusion; isolates
+#             whether the fused epilogue forces a slow conv layout)
+_CONVVAR = os.environ.get("SSYT_CONVVAR", "")
 
 
 def autopad(k: int, d: int = 1) -> int:
@@ -109,6 +122,8 @@ def conv_apply(
         )
     w = p["w"].astype(x.dtype)
     k = w.shape[0]
+    if _CONVVAR == "mm1x1":
+        mm1x1 = True
     if (
         mm1x1 and k == 1 and stride == 1 and groups == 1
         and dilation == 1
@@ -132,6 +147,8 @@ def conv_apply(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
+    if _CONVVAR == "barrier":
+        y = jax.lax.optimization_barrier(y)
     return bn_act(p, y, eps=eps, act=act)
 
 
